@@ -1,0 +1,106 @@
+"""Headline benchmark: VQE gradient-step latency (forward + expectation + backward).
+
+Matches the reference's gradient benchmark workload
+(reference: examples/benchmarks/benchmark_v420/gradient/gradient_deepquantum.py:24-56):
+layered CNOT-ring + Rx/Rz/Rx ansatz with an X-string observable. Ours runs
+jitted on the TPU; the baseline is the mounted PyTorch reference on this
+host's CPU (the reference publishes no numbers, so the baseline is measured
+in place). Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+N_QUBIT = int(os.environ.get('BENCH_NQUBIT', 18))
+N_LAYER = int(os.environ.get('BENCH_NLAYER', 5))
+TRIALS = int(os.environ.get('BENCH_TRIALS', 10))
+BASELINE_TRIALS = int(os.environ.get('BENCH_BASELINE_TRIALS', 3))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import deepquantum_tpu as dq
+
+    cir = dq.QubitCircuit(N_QUBIT)
+    for _ in range(N_LAYER):
+        for i in range(N_QUBIT):
+            cir.rx(i)
+            cir.rz(i)
+            cir.rx(i)
+        cir.cnot_ring()
+    cir.observable(list(range(N_QUBIT)), basis='x' * N_QUBIT)
+    params = cir.params
+
+    grad_fn = jax.jit(jax.value_and_grad(lambda p: cir.expectation(params=p)[0]))
+    val, g = grad_fn(params)  # compile + warmup
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for k in range(TRIALS):
+        # vary the input so no execution-result cache can short-circuit
+        val, g = grad_fn(params + 1e-3 * k)
+    jax.block_until_ready(g)
+    return (time.perf_counter() - t0) / TRIALS * 1e3
+
+
+def bench_reference() -> float | None:
+    """PyTorch reference on host CPU; None if it cannot run."""
+    try:
+        import types
+        for name, attrs in {'qiskit': ['QuantumCircuit'], 'svgwrite': ['Drawing'],
+                            'bayes_opt': ['BayesianOptimization', 'UtilityFunction']}.items():
+            if name not in sys.modules:
+                try:
+                    __import__(name)
+                except ImportError:
+                    mod = types.ModuleType(name)
+                    for a in attrs:
+                        setattr(mod, a, type(a, (), {}))
+                    sys.modules[name] = mod
+        sys.path.insert(0, '/root/reference/src')
+        import torch
+        import deepquantum as ref
+
+        cir = ref.QubitCircuit(N_QUBIT)
+        for _ in range(N_LAYER):
+            for i in range(N_QUBIT):
+                cir.rx(i)
+                cir.rz(i)
+                cir.rx(i)
+            cir.cnot_ring()
+        cir.observable(list(range(N_QUBIT)), basis='x' * N_QUBIT)
+
+        def step():
+            cir()
+            e = cir.expectation()
+            e.sum().backward()
+            cir.zero_grad()
+
+        step()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(BASELINE_TRIALS):
+            step()
+        return (time.perf_counter() - t0) / BASELINE_TRIALS * 1e3
+    except Exception as exc:  # noqa: BLE001
+        print(f'# baseline unavailable: {exc}', file=sys.stderr)
+        return None
+
+
+def main():
+    ours_ms = bench_ours()
+    ref_ms = bench_reference()
+    vs = (ref_ms / ours_ms) if ref_ms else None
+    print(json.dumps({
+        'metric': f'vqe_grad_step_latency_n{N_QUBIT}_l{N_LAYER}',
+        'value': round(ours_ms, 4),
+        'unit': 'ms',
+        'vs_baseline': round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

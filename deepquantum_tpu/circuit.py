@@ -1,0 +1,964 @@
+"""QubitCircuit: the main qubit-circuit API.
+
+TPU-native redesign of reference src/deepquantum/circuit.py:81-1624. The
+circuit is a *builder* that records an immutable op list (the IR) plus one
+flat parameter vector. Execution is a pure jitted function
+``(params, data, state) -> state`` unrolled over the IR; batching is
+``jax.vmap`` over data and/or state; gradients are ``jax.grad`` through the
+whole program. Stateful conveniences (``cir(data)`` then ``cir.expectation()``)
+are kept for API parity with the reference.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import cdtype, rdtype
+from .gate import GATE_REGISTRY, GateOp
+from .ops import gates as G
+from .ops.apply import (
+    evolve_den_mat_controlled,
+    evolve_state,
+    evolve_state_controlled,
+)
+from .ops.qmath import (
+    amplitude_encoding,
+    expectation_pauli,
+    measure as qmeasure,
+    slice_state_vector,
+)
+from .state import QubitState
+
+__all__ = ['QubitCircuit', 'Observable']
+
+_PAULI_FNS = {'x': G.paulix_matrix, 'y': G.pauliy_matrix, 'z': G.pauliz_matrix}
+
+
+class Observable:
+    """A Pauli-string observable (reference layer.py:127-166)."""
+
+    def __init__(self, nqubit: int, wires=None, basis: str = 'z') -> None:
+        self.nqubit = nqubit
+        if wires is None:
+            wires = list(range(nqubit))
+        if isinstance(wires, int):
+            wires = [wires]
+        self.wires = [[w] if isinstance(w, int) else list(w) for w in wires]
+        basis = basis.lower()
+        if len(basis) == 1:
+            basis = basis * len(self.wires)
+        assert len(self.wires) == len(basis), 'The number of wires is not equal to the number of bases'
+        self.basis = basis
+
+    def apply(self, x: jnp.ndarray, den_mat: bool = False) -> jnp.ndarray:
+        """Apply the Pauli string to a state tensor (2,)*n or den-mat tensor (2,)*2n."""
+        n = self.nqubit
+        for wire, b in zip(self.wires, self.basis):
+            mat = _PAULI_FNS[b]()
+            if den_mat:
+                # left-multiply only: used for tr(O rho)
+                x = evolve_state(x, mat, 2 * n, [wire[0]])
+            else:
+                x = evolve_state(x, mat, n, [wire[0]])
+        return x
+
+
+def _flat_wires(wires):
+    if isinstance(wires, int):
+        return [wires]
+    return list(wires)
+
+
+def _eager() -> bool:
+    """True outside any jit/vmap trace."""
+    try:
+        return type(jax.core.trace_ctx.trace).__name__ == 'EvalTrace'
+    except AttributeError:
+        return True
+
+
+class QubitCircuit:
+    """Quantum circuit for qubits (API surface mirrors reference circuit.py:81).
+
+    Args:
+        nqubit: number of qubits.
+        init_state: 'zeros' | 'equal' | 'entangle'/'GHZ' | array | QubitState.
+        den_mat: density-matrix simulation.
+        reupload: data re-uploading for encoders.
+        mps: matrix-product-state simulation (see mps.py).
+        chi: MPS bond dimension.
+        shots: default measurement shots.
+    """
+
+    def __init__(
+        self,
+        nqubit: int,
+        init_state: Any = 'zeros',
+        name: str | None = None,
+        den_mat: bool = False,
+        reupload: bool = False,
+        mps: bool = False,
+        chi: int | None = None,
+        shots: int = 1024,
+    ) -> None:
+        self.nqubit = nqubit
+        self.name = name
+        self.den_mat = den_mat
+        self.reupload = reupload
+        self.mps = mps
+        self.chi = chi
+        self.shots = shots
+        self.operators: list[GateOp] = []
+        self.observables: list[Observable] = []
+        self.encoders: list[GateOp] = []
+        self._pvals: list[float] = []       # all parameter values (host-side master copy)
+        self._enc_pidx: list[int] = []      # param indices fed by data, in encoder order
+        self._train_mask: list[bool] = []   # per-param trainability
+        self.state = None
+        self.npara = 0
+        self.ndata = 0
+        self.depth = np.zeros(nqubit, dtype=np.int64)
+        self._cut_lst: list[tuple] = []
+        self.wires_measure: list[int] = []
+        self.wires_condition: list[int] = []
+        self._version = 0
+        self._cache: dict = {}
+        self.set_init_state(init_state)
+
+    # ------------------------------------------------------------------ state
+    def set_init_state(self, init_state: Any) -> None:
+        if self.mps:
+            from .mps import MatrixProductState
+            if isinstance(init_state, MatrixProductState):
+                assert self.nqubit == init_state.nsite
+                self.init_state = init_state
+                self.chi = init_state.chi
+            else:
+                self.init_state = MatrixProductState(nsite=self.nqubit, state=init_state, chi=self.chi)
+                self.chi = self.init_state.chi
+        elif isinstance(init_state, QubitState):
+            assert self.nqubit == init_state.nqubit
+            self.den_mat = init_state.den_mat
+            self.init_state = init_state
+        else:
+            self.init_state = QubitState(nqubit=self.nqubit, state=init_state, den_mat=self.den_mat)
+
+    # ------------------------------------------------------------- parameters
+    @property
+    def params(self) -> jnp.ndarray:
+        """Trainable parameter vector (the leaves users feed to jax.grad/optax)."""
+        idx = [i for i, t in enumerate(self._train_mask) if t]
+        return jnp.asarray(np.asarray(self._pvals, dtype=np.float64)[idx], dtype=rdtype())
+
+    @params.setter
+    def params(self, values) -> None:
+        idx = [i for i, t in enumerate(self._train_mask) if t]
+        values = np.asarray(values, dtype=np.float64).reshape(-1)
+        assert len(values) == len(idx)
+        for i, v in zip(idx, values):
+            self._pvals[i] = float(v)
+
+    @property
+    def _train_idx(self) -> list[int]:
+        return [i for i, t in enumerate(self._train_mask) if t]
+
+    def _full_params(self, params=None, data=None, data_idx=None) -> jnp.ndarray:
+        """Assemble the full parameter vector functionally.
+
+        Replaces the reference's encode-by-mutating-buffers (circuit.py:265-293)
+        with scatter updates, so it traces under jit/vmap/grad.
+        """
+        full = jnp.asarray(np.asarray(self._pvals, dtype=np.float64), dtype=rdtype())
+        if params is not None:
+            ti = self._train_idx
+            params = jnp.asarray(params, dtype=rdtype()).reshape(-1)
+            full = full.at[jnp.array(ti, dtype=jnp.int32)].set(params)
+        if data is not None and self._enc_pidx:
+            data = jnp.asarray(data, dtype=rdtype()).reshape(-1)
+            full = full.at[jnp.array(self._enc_pidx, dtype=jnp.int32)].set(data[jnp.array(data_idx, jnp.int32)])
+        return full
+
+    def _data_indices(self, data_len: int) -> list[int]:
+        """Static map: encoder-param position -> index into the data vector."""
+        if self.reupload:
+            return [i % data_len for i in range(self.ndata)]
+        assert data_len >= self.ndata, 'The circuit needs more data, or consider data re-uploading'
+        return list(range(self.ndata))
+
+    def init_para(self, seed: int | None = None) -> None:
+        """Re-randomize all trainable parameters."""
+        rng = np.random.default_rng(seed)
+        for i, t in enumerate(self._train_mask):
+            if t:
+                self._pvals[i] = float(rng.random() * 2 * np.pi)
+
+    # ------------------------------------------------------------------- add
+    def _new_params(self, values, encode: bool, requires_grad: bool) -> tuple:
+        start = len(self._pvals)
+        idx = tuple(range(start, start + len(values)))
+        self._pvals.extend(float(v) for v in values)
+        self._train_mask.extend([requires_grad and not encode] * len(values))
+        return idx
+
+    def add_gate(
+        self,
+        name: str,
+        wires,
+        controls=None,
+        inputs=None,
+        encode: bool = False,
+        condition: bool = False,
+        requires_grad: bool | None = None,
+        matrix_fn=None,
+        static_matrix=None,
+        npara: int | None = None,
+        extra: dict | None = None,
+    ) -> GateOp:
+        """Append a gate to the IR, registering its parameters."""
+        wires = tuple(_flat_wires(wires))
+        controls = tuple(_flat_wires(controls)) if controls is not None else ()
+        assert len(set(wires)) == len(wires), 'Use repeated wires'
+        assert len(set(controls)) == len(controls), 'Use repeated controls'
+        for w in wires:
+            assert w not in controls, 'Use repeated wires'
+        for w in wires + controls:
+            assert 0 <= w < self.nqubit, f'wire {w} out of range for {self.nqubit} qubits'
+        if condition:
+            assert len(controls) > 0
+        reg = GATE_REGISTRY.get(name)
+        if matrix_fn is None and static_matrix is None:
+            assert reg is not None, f'Unknown gate: {name}'
+            matrix_fn = reg['fn']
+            npara = reg['npara']
+        if npara is None:
+            npara = 0
+        if requires_grad is None:
+            requires_grad = inputs is None and npara > 0 and not encode
+        if npara > 0:
+            if inputs is None:
+                values = [float(np.random.rand() * 2 * np.pi) for _ in range(npara)]
+            else:
+                values = np.asarray(inputs, dtype=np.float64).reshape(-1)
+                assert len(values) == npara, f'{name} expects {npara} parameters'
+            pidx = self._new_params(values, encode, requires_grad)
+        else:
+            pidx = ()
+        op = GateOp(
+            name=name, wires=wires, controls=controls, matrix_fn=matrix_fn,
+            static_matrix=static_matrix, pidx=pidx, npara=npara, kind='gate',
+            condition=condition, requires_grad=requires_grad, extra=extra or {},
+        )
+        self.operators.append(op)
+        for i in wires + controls:
+            self.depth[i] += 1
+        if condition:
+            self.wires_condition = sorted(set(self.wires_condition) | set(controls))
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(pidx)
+            self.ndata += npara
+        else:
+            self.npara += npara
+        self._version += 1
+        self._cache.clear()
+        return op
+
+    def add(self, op, encode: bool = False, wires=None, controls=None) -> None:
+        """Add a GateOp / Observable / QubitCircuit (reference circuit.py:820)."""
+        if isinstance(op, QubitCircuit):
+            assert self.nqubit == op.nqubit
+            offset = len(self._pvals)
+            self._pvals.extend(op._pvals)
+            self._train_mask.extend(op._train_mask)
+            for g in op.operators:
+                g2 = _copy.copy(g)
+                g2.pidx = tuple(i + offset for i in g.pidx)
+                self.operators.append(g2)
+                if g in op.encoders:
+                    self.encoders.append(g2)
+                    self._enc_pidx.extend(g2.pidx)
+            self.observables = list(op.observables)
+            self.npara += op.npara
+            self.ndata += op.ndata
+            self.depth += op.depth
+            self.wires_measure = op.wires_measure
+            self.wires_condition = sorted(set(self.wires_condition) | set(op.wires_condition))
+            self._version += 1
+            self._cache.clear()
+            return
+        if isinstance(op, Observable):
+            self.observables.append(op)
+            return
+        assert isinstance(op, GateOp)
+        g = _copy.copy(op)
+        if wires is not None:
+            g.wires = tuple(_flat_wires(wires))
+            g.controls = tuple(_flat_wires(controls)) if controls is not None else ()
+        if g.npara > 0 and not g.pidx:
+            values = g.extra.get('inputs')
+            if values is None:
+                values = [float(np.random.rand() * 2 * np.pi) for _ in range(g.npara)]
+            g.pidx = self._new_params(np.asarray(values).reshape(-1), encode, g.requires_grad)
+        self.operators.append(g)
+        for i in g.wires + g.controls:
+            self.depth[i] += 1
+        if encode:
+            self.encoders.append(g)
+            self._enc_pidx.extend(g.pidx)
+            self.ndata += g.npara
+        else:
+            self.npara += g.npara
+        self._version += 1
+        self._cache.clear()
+
+    # -------------------------------------------------------------- simulate
+    def _apply_op(self, op: GateOp, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.nqubit
+        if op.kind == 'barrier':
+            return x
+        if op.kind == 'channel':
+            kraus = op.matrix(full_params)  # (K, 2^k, 2^k)
+            def apply_k(k):
+                from .ops.apply import evolve_den_mat
+                return evolve_den_mat(x, k, n, list(op.wires))
+            return jax.vmap(apply_k)(kraus).sum(0)
+        mat = op.matrix(full_params)
+        if self.den_mat:
+            return evolve_den_mat_controlled(x, mat, n, list(op.wires), list(op.controls))
+        return evolve_state_controlled(x, mat, n, list(op.wires), list(op.controls))
+
+    def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
+        for op in self.operators:
+            x = self._apply_op(op, full_params, x)
+        return x
+
+    def _run_flat(self, full_params: jnp.ndarray, state_flat: jnp.ndarray) -> jnp.ndarray:
+        n = self.nqubit
+        if self.mps:
+            raise RuntimeError('use _run_mps for MPS circuits')
+        shape = [2] * (2 * n) if self.den_mat else [2] * n
+        x = self._sim_tensor(full_params, state_flat.reshape(shape))
+        if self.den_mat:
+            return x.reshape(2 ** n, 2 ** n)
+        return x.reshape(2 ** n, 1)
+
+    def _run_mps(self, full_params, tensors):
+        from .mps import apply_gate_mps
+        from .ops.apply import controlled_matrix, permute_matrix_wires
+        for op in self.operators:
+            if op.kind == 'barrier':
+                continue
+            assert op.kind == 'gate', 'MPS supports unitary gates only'
+            mat = op.matrix(full_params)
+            all_wires = list(op.controls) + list(op.wires)
+            mat = controlled_matrix(mat, len(op.controls))
+            order = sorted(range(len(all_wires)), key=lambda i: all_wires[i])
+            mat = permute_matrix_wires(mat, order)
+            tensors = apply_gate_mps(tensors, mat, sorted(all_wires), self.chi)
+        return tensors
+
+    # --------------------------------------------------------------- forward
+    def __call__(self, data=None, state=None, params=None):
+        return self.forward(data, state, params)
+
+    def forward(self, data=None, state=None, params=None):
+        """Run the circuit; returns and stores the final state.
+
+        data: optional (ndata,) or (batch, ndata) encoder data.
+        state: optional initial state (array or QubitState); defaults to init_state.
+        params: optional trainable-parameter vector (pure-functional override).
+        """
+        if self.mps:
+            return self._forward_mps(data, state, params)
+        if state is None:
+            state = self.init_state
+        if isinstance(state, QubitState):
+            state = state.state
+        if isinstance(state, np.ndarray):
+            state = state.astype(cdtype())
+        elif not isinstance(state, jax.Array):
+            state = np.asarray(state, dtype=cdtype())
+        if isinstance(state, np.ndarray) and _eager():
+            # complex host->device transfers are not universally supported
+            # (axon tunnel): ship as two real buffers. Under an outer trace
+            # the numpy array embeds as an inline constant instead.
+            from .utils.compat import to_device
+            state = to_device(state)
+        n = self.nqubit
+        dim = 2 ** n
+        # normalize state shape: flat (dim*?,) per sample
+        if self.den_mat:
+            single = state.ndim == 2
+        else:
+            single = state.ndim == 1 or (state.ndim == 2 and state.shape[-1] == 1)
+        if self.ndata == 0:
+            data = None
+        key = ('fwd', self._version, None if data is None else jnp.shape(data), single)
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, state_):
+                if data_ is None:
+                    full = self._full_params(params_)
+                    return self._run_flat(full, state_)
+                data_idx = self._data_indices(data_.shape[-1])
+                def one(d, s):
+                    full = self._full_params(params_, d, data_idx)
+                    return self._run_flat(full, s)
+                if data_.ndim == 1:
+                    return one(data_, state_)
+                in_axes = (0, None) if single else (0, 0)
+                return jax.vmap(one, in_axes=in_axes)(data_, state_)
+            fn = jax.jit(run, static_argnames=())
+            self._cache[key] = fn
+        ptree = None if params is None else jnp.asarray(params, dtype=rdtype())
+        self.state = fn(ptree, data, state)
+        return self.state
+
+    def _forward_mps(self, data=None, state=None, params=None):
+        from .mps import MatrixProductState
+        if state is None:
+            state = self.init_state
+        if isinstance(state, MatrixProductState):
+            tensors = state.tensors
+        else:
+            tensors = state
+        key = ('fwd_mps', self._version, None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, tensors_):
+                if data_ is None:
+                    full = self._full_params(params_)
+                    return self._run_mps(full, tensors_)
+                data_idx = self._data_indices(data_.shape[-1])
+                def one(d):
+                    full = self._full_params(params_, d, data_idx)
+                    return self._run_mps(full, tensors_)
+                if data_.ndim == 1:
+                    return one(data_)
+                return jax.vmap(one)(data_)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        ptree = None if params is None else jnp.asarray(params, dtype=rdtype())
+        self.state = fn(ptree, data, tensors)
+        return self.state
+
+    # ------------------------------------------------------------ observables
+    def observable(self, wires=None, basis: str = 'z') -> None:
+        self.observables.append(Observable(nqubit=self.nqubit, wires=wires, basis=basis))
+
+    def reset_observable(self) -> None:
+        self.observables = []
+
+    def expectation(self, data=None, state=None, params=None, shots: int | None = None) -> jnp.ndarray:
+        """Expectation values of all observables.
+
+        With no arguments, uses the stored final state (reference semantics).
+        With data/params, recomputes the state purely (differentiable path).
+        shots: sampling-based estimate via basis rotation (reference circuit.py:381).
+        """
+        assert len(self.observables) > 0, 'There is no observable'
+        if data is not None or params is not None or state is not None or self.state is None:
+            state = self.forward(data, state, params)
+        else:
+            state = self.state
+        if shots is not None:
+            return self._expectation_shots(state, shots)
+        n = self.nqubit
+        if self.mps:
+            from .ops.qmath import inner_product_mps
+            out = []
+            for obs in self.observables:
+                t2 = list(state)
+                for wire, b in zip(obs.wires, obs.basis):
+                    mat = _PAULI_FNS[b]()
+                    t2[wire[0]] = jnp.einsum('ab,ibj->iaj', mat, t2[wire[0]])
+                out.append(inner_product_mps(state, t2).real)
+            return jnp.stack(out, axis=-1)
+        den = self.den_mat
+        def one_state_expvals(s):
+            if den:
+                x = s.reshape([2] * (2 * n))
+                vals = []
+                for obs in self.observables:
+                    ox = obs.apply(x, den_mat=True)
+                    vals.append(jnp.trace(ox.reshape(2 ** n, 2 ** n)).real)
+            else:
+                x = s.reshape([2] * n)
+                vals = []
+                for obs in self.observables:
+                    ox = obs.apply(x, den_mat=False)
+                    vals.append(expectation_pauli(x, ox))
+            return jnp.stack(vals, axis=-1)
+        batched = (state.ndim == 3)
+        if batched:
+            return jax.vmap(one_state_expvals)(state)
+        return one_state_expvals(state)
+
+    def _expectation_shots(self, state, shots: int):
+        from .ops.qmath import sample2expval
+        out = []
+        for obs in self.observables:
+            cir_basis = QubitCircuit(nqubit=self.nqubit, den_mat=self.den_mat)
+            for wire, basis in zip(obs.wires, obs.basis):
+                if basis == 'x':
+                    cir_basis.h(wire[0])
+                elif basis == 'y':
+                    cir_basis.sdg(wire[0])
+                    cir_basis.h(wire[0])
+            rotated = cir_basis.forward(state=state)
+            wires = sum(obs.wires, [])
+            samples = cir_basis.measure(shots=shots, wires=wires)
+            if isinstance(samples, list):
+                out.append(jnp.asarray([sample2expval(s) for s in samples], dtype=rdtype()))
+            else:
+                out.append(jnp.asarray(sample2expval(samples), dtype=rdtype()))
+        return jnp.stack(out, axis=-1)
+
+    def expval_fn(self):
+        """Pure function (params, data=None) -> expvals, for jax.grad/optax loops."""
+        def fn(params, data=None):
+            state = self.forward(data=data, params=params)
+            return self.expectation(state=state) if False else self._expect_of_state(state)
+        return fn
+
+    def _expect_of_state(self, state):
+        saved = self.state
+        self.state = state
+        try:
+            return self.expectation()
+        finally:
+            self.state = saved
+
+    # ------------------------------------------------------------ measurement
+    def measure(self, shots: int | None = None, with_prob: bool = False, wires=None,
+                key=None, block_size: int = 2 ** 24):
+        if shots is None:
+            shots = self.shots
+        else:
+            self.shots = shots
+        if wires is None:
+            wires = list(range(self.nqubit))
+        self.wires_measure = _flat_wires(wires)
+        if self.mps:
+            from .mps import measure_mps
+            return measure_mps(self.state, shots=shots, wires=self.wires_measure,
+                               with_prob=with_prob, key=key)
+        if self.state is None:
+            return None
+        return qmeasure(self.state, shots=shots, with_prob=with_prob,
+                        wires=self.wires_measure, den_mat=self.den_mat, key=key)
+
+    def defer_measure(self, with_prob: bool = False, key=None):
+        """Measure condition wires once and slice the state (reference circuit.py:430)."""
+        assert not self.den_mat and not self.mps
+        rst = self.measure(shots=1, with_prob=with_prob, wires=self.wires_condition, key=key)
+        if isinstance(rst, dict):
+            bit = next(iter(rst))
+            state = slice_state_vector(self.state.reshape(1, -1), self.nqubit,
+                                       self.wires_condition, bit)[0][:, None]
+            if with_prob:
+                return state, bit, rst[bit][1]
+            return state
+        states, bits, probs = [], [], []
+        for i, d in enumerate(rst):
+            bit = next(iter(d))
+            states.append(slice_state_vector(self.state[i].reshape(1, -1), self.nqubit,
+                                             self.wires_condition, bit)[0][:, None])
+            bits.append(bit)
+            if with_prob:
+                probs.append(d[bit][1])
+        out = jnp.stack(states)
+        if with_prob:
+            return out, bits, probs
+        return out
+
+    def post_select(self, bits: str) -> jnp.ndarray:
+        assert not self.den_mat and not self.mps
+        state = self.state
+        single = state.ndim == 2
+        out = slice_state_vector(state.reshape(1 if single else state.shape[0], -1),
+                                 self.nqubit, self.wires_condition, bits)
+        return out[0][:, None] if single else out[..., None]
+
+    # ------------------------------------------------------------- inspection
+    def get_unitary(self, params=None) -> jnp.ndarray:
+        """Full 2^n x 2^n unitary of the circuit."""
+        n = self.nqubit
+        full = self._full_params(params)
+        eye = jnp.eye(2 ** n, dtype=cdtype())
+        saved_den = self.den_mat
+        self.den_mat = False
+        def col(c):
+            x = c.reshape([2] * n)
+            for op in self.operators:
+                if op.kind in ('barrier',):
+                    continue
+                x = evolve_state_controlled(x, op.matrix(full), n, list(op.wires), list(op.controls))
+            return x.reshape(-1)
+        try:
+            u = jax.vmap(col, in_axes=1, out_axes=1)(eye)
+        finally:
+            self.den_mat = saved_den
+        return u
+
+    def get_amplitude(self, bits: str) -> jnp.ndarray:
+        assert not self.den_mat
+        assert len(bits) == self.nqubit
+        if self.mps:
+            amp = jnp.ones((1, 1), dtype=cdtype())
+            raise NotImplementedError('MPS get_amplitude comes with the MPS backend')
+        state = self.state.reshape([-1] + [2] * self.nqubit)
+        for b in bits:
+            state = state[:, int(b)].reshape([state.shape[0]] + [2] * (state.ndim - 2))
+        return state.squeeze()
+
+    def get_prob(self, bits: str, wires=None) -> jnp.ndarray:
+        if wires is not None:
+            wires = _flat_wires(wires)
+            if len(wires) != self.nqubit:
+                state = self.state.reshape(1, -1) if self.state.ndim == 2 else self.state.reshape(self.state.shape[0], -1)
+                sliced = slice_state_vector(state, self.nqubit, wires, bits, normalize=False)
+                return (jnp.abs(sliced) ** 2).sum(-1).squeeze()
+        amp = self.get_amplitude(bits)
+        return jnp.abs(amp) ** 2
+
+    def amplitude_encoding(self, data) -> jnp.ndarray:
+        return amplitude_encoding(data, self.nqubit)
+
+    @property
+    def max_depth(self) -> int:
+        return int(max(self.depth))
+
+    def inverse(self, encode: bool = False) -> 'QubitCircuit':
+        """Inverted circuit (parameters copied; reference circuit.py:530)."""
+        cir = QubitCircuit(nqubit=self.nqubit, name=(self.name or '') + '_inverse',
+                           den_mat=self.den_mat, reupload=self.reupload, mps=self.mps, chi=self.chi)
+        cir._pvals = list(self._pvals)
+        cir._train_mask = list(self._train_mask)
+        for op in reversed(self.operators):
+            g = _copy.copy(op)
+            if g.kind == 'gate':
+                g.inv = not g.inv
+            cir.operators.append(g)
+            if encode and op in self.encoders:
+                cir.encoders.append(g)
+                cir._enc_pidx.extend(g.pidx)
+        cir.wires_condition = list(self.wires_condition)
+        if encode:
+            cir.npara = self.npara
+            cir.ndata = self.ndata
+        else:
+            cir.npara = self.npara + self.ndata
+            cir.ndata = 0
+        return cir
+
+    def __add__(self, rhs: 'QubitCircuit') -> 'QubitCircuit':
+        assert self.nqubit == rhs.nqubit
+        cir = QubitCircuit(nqubit=self.nqubit, init_state=self.init_state, name=self.name,
+                           den_mat=self.den_mat, reupload=self.reupload, mps=self.mps, chi=self.chi)
+        cir.add(self)
+        cir.add(rhs)
+        cir.observables = list(rhs.observables)
+        return cir
+
+    # ------------------------------------------------------------- gate sugar
+    def u3(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('U3Gate', wires, controls, inputs, encode, condition)
+
+    def cu(self, control, target, inputs=None, encode=False):
+        self.add_gate('U3Gate', target, control, inputs, encode)
+
+    def p(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('PhaseShift', wires, controls, inputs, encode, condition)
+
+    def cp(self, control, target, inputs=None, encode=False):
+        self.add_gate('PhaseShift', target, control, inputs, encode)
+
+    def x(self, wires, controls=None, condition=False):
+        self.add_gate('PauliX', wires, controls, condition=condition)
+
+    def y(self, wires, controls=None, condition=False):
+        self.add_gate('PauliY', wires, controls, condition=condition)
+
+    def z(self, wires, controls=None, condition=False):
+        self.add_gate('PauliZ', wires, controls, condition=condition)
+
+    def h(self, wires, controls=None, condition=False):
+        self.add_gate('Hadamard', wires, controls, condition=condition)
+
+    def s(self, wires, controls=None, condition=False):
+        self.add_gate('SGate', wires, controls, condition=condition)
+
+    def sdg(self, wires, controls=None, condition=False):
+        self.add_gate('SDaggerGate', wires, controls, condition=condition)
+
+    def t(self, wires, controls=None, condition=False):
+        self.add_gate('TGate', wires, controls, condition=condition)
+
+    def tdg(self, wires, controls=None, condition=False):
+        self.add_gate('TDaggerGate', wires, controls, condition=condition)
+
+    def ch(self, control, target):
+        self.add_gate('Hadamard', target, control)
+
+    def cs(self, control, target):
+        self.add_gate('SGate', target, control)
+
+    def csdg(self, control, target):
+        self.add_gate('SDaggerGate', target, control)
+
+    def ct(self, control, target):
+        self.add_gate('TGate', target, control)
+
+    def ctdg(self, control, target):
+        self.add_gate('TDaggerGate', target, control)
+
+    def rx(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Rx', wires, controls, inputs, encode, condition)
+
+    def ry(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Ry', wires, controls, inputs, encode, condition)
+
+    def rz(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Rz', wires, controls, inputs, encode, condition)
+
+    def crx(self, control, target, inputs=None, encode=False):
+        self.add_gate('Rx', target, control, inputs, encode)
+
+    def cry(self, control, target, inputs=None, encode=False):
+        self.add_gate('Ry', target, control, inputs, encode)
+
+    def crz(self, control, target, inputs=None, encode=False):
+        self.add_gate('Rz', target, control, inputs, encode)
+
+    def j(self, wires, inputs=None, plane='xy', controls=None, condition=False, encode=False):
+        self.add_gate('ProjectionJ', wires, controls, inputs, encode, condition,
+                      matrix_fn=lambda p, _pl=plane: G.projection_j_matrix(p[0], _pl),
+                      npara=1, extra={'plane': plane})
+
+    def cnot(self, control, target):
+        self.add_gate('CNOT', [control, target])
+
+    def cx(self, control, target):
+        self.add_gate('PauliX', target, control)
+
+    def cy(self, control, target):
+        self.add_gate('PauliY', target, control)
+
+    def cz(self, control, target):
+        self.add_gate('PauliZ', target, control)
+
+    def swap(self, wires, controls=None, condition=False):
+        self.add_gate('Swap', wires, controls, condition=condition)
+
+    def iswap(self, wires, controls=None, condition=False):
+        self.add_gate('ImaginarySwap', wires, controls, condition=condition)
+
+    def rxx(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Rxx', wires, controls, inputs, encode, condition)
+
+    def ryy(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Ryy', wires, controls, inputs, encode, condition)
+
+    def rzz(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Rzz', wires, controls, inputs, encode, condition)
+
+    def rxy(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('Rxy', wires, controls, inputs, encode, condition)
+
+    def rbs(self, wires, inputs=None, controls=None, condition=False, encode=False):
+        self.add_gate('ReconfigurableBeamSplitter', wires, controls, inputs, encode, condition)
+
+    def crxx(self, control, target1, target2, inputs=None, encode=False):
+        self.add_gate('Rxx', [target1, target2], control, inputs, encode)
+
+    def cryy(self, control, target1, target2, inputs=None, encode=False):
+        self.add_gate('Ryy', [target1, target2], control, inputs, encode)
+
+    def crzz(self, control, target1, target2, inputs=None, encode=False):
+        self.add_gate('Rzz', [target1, target2], control, inputs, encode)
+
+    def crxy(self, control, target1, target2, inputs=None, encode=False):
+        self.add_gate('Rxy', [target1, target2], control, inputs, encode)
+
+    def toffoli(self, control1, control2, target):
+        self.add_gate('Toffoli', [control1, control2, target])
+
+    def ccx(self, control1, control2, target):
+        self.add_gate('PauliX', target, [control1, control2])
+
+    def fredkin(self, control, target1, target2):
+        self.add_gate('Fredkin', [control, target1, target2])
+
+    def cswap(self, control, target1, target2):
+        self.add_gate('Swap', [target1, target2], control)
+
+    def any(self, unitary, wires=None, minmax=None, controls=None, name='uany'):
+        """Arbitrary unitary gate (reference gate.py:2745 UAnyGate)."""
+        if wires is None:
+            if minmax is None:
+                minmax = [0, self.nqubit - 1]
+            wires = list(range(minmax[0], minmax[1] + 1))
+        unitary = np.asarray(unitary, dtype=cdtype())
+        self.add_gate(name, wires, controls, static_matrix=unitary, npara=0)
+
+    def latent(self, wires=None, inputs=None, minmax=None, controls=None, encode=False):
+        """Latent gate: polar projection of a latent matrix (reference gate.py:2791)."""
+        if wires is None:
+            if minmax is None:
+                minmax = [0, self.nqubit - 1]
+            wires = list(range(minmax[0], minmax[1] + 1))
+        wires = _flat_wires(wires)
+        dim = 2 ** len(wires)
+        if inputs is None:
+            inputs = np.random.randn(dim, dim)
+        inputs = np.asarray(inputs, dtype=np.float64).reshape(-1)
+        self.add_gate('LatentGate', wires, controls, inputs, encode,
+                      matrix_fn=lambda p, _d=dim: G.latent_matrix(p.reshape(_d, _d)),
+                      npara=dim * dim)
+
+    def hamiltonian(self, hamiltonian, t=None, wires=None, minmax=None, controls=None, encode=False):
+        """exp(-i H t) gate (reference gate.py:2867)."""
+        if wires is None:
+            if minmax is None:
+                minmax = [0, self.nqubit - 1]
+            wires = list(range(minmax[0], minmax[1] + 1))
+        ham = np.asarray(hamiltonian, dtype=cdtype())
+        self.add_gate('HamiltonianGate', wires, controls, t, encode,
+                      matrix_fn=lambda p, _h=ham: G.hamiltonian_matrix(_h, p[0]),
+                      npara=1, extra={'ham': ham})
+
+    def xlayer(self, wires=None):
+        for w in self._layer_wires(wires):
+            self.x(w)
+
+    def ylayer(self, wires=None):
+        for w in self._layer_wires(wires):
+            self.y(w)
+
+    def zlayer(self, wires=None):
+        for w in self._layer_wires(wires):
+            self.z(w)
+
+    def hlayer(self, wires=None):
+        for w in self._layer_wires(wires):
+            self.h(w)
+
+    def rxlayer(self, wires=None, inputs=None, encode=False):
+        self._rot_layer('rx', wires, inputs, encode)
+
+    def rylayer(self, wires=None, inputs=None, encode=False):
+        self._rot_layer('ry', wires, inputs, encode)
+
+    def rzlayer(self, wires=None, inputs=None, encode=False):
+        self._rot_layer('rz', wires, inputs, encode)
+
+    def u3layer(self, wires=None, inputs=None, encode=False):
+        ws = self._layer_wires(wires)
+        for i, w in enumerate(ws):
+            ins = None if inputs is None else jnp.asarray(inputs).reshape(-1)[3 * i:3 * i + 3]
+            self.u3(w, ins, encode=encode)
+
+    def cxlayer(self, wires=None):
+        if wires is None:
+            wires = [[i, i + 1] for i in range(0, self.nqubit - 1, 2)]
+        for c, t in wires:
+            self.cx(c, t)
+
+    def cnot_ring(self, minmax=None, step: int = 1, reverse: bool = False):
+        """Ring of CNOTs (reference layer.py:446 CnotRing)."""
+        if minmax is None:
+            minmax = [0, self.nqubit - 1]
+        wires = list(range(minmax[0], minmax[1] + 1))
+        nw = len(wires)
+        if reverse:
+            pairs = [(wires[(i + step) % nw], wires[i]) for i in reversed(range(nw))]
+        else:
+            pairs = [(wires[i], wires[(i + step) % nw]) for i in range(nw)]
+        for c, t in pairs:
+            self.cnot(c, t)
+
+    def _layer_wires(self, wires):
+        if wires is None:
+            return list(range(self.nqubit))
+        return _flat_wires(wires)
+
+    def _rot_layer(self, kind, wires, inputs, encode):
+        ws = self._layer_wires(wires)
+        for i, w in enumerate(ws):
+            ins = None if inputs is None else jnp.asarray(inputs).reshape(-1)[i:i + 1]
+            getattr(self, kind)(w, ins, encode=encode)
+
+    # channels (density matrix only)
+    def bit_flip(self, wires, inputs=None, encode=False):
+        self._add_channel('BitFlip', wires, inputs, encode)
+
+    def phase_flip(self, wires, inputs=None, encode=False):
+        self._add_channel('PhaseFlip', wires, inputs, encode)
+
+    def depolarizing(self, wires, inputs=None, encode=False):
+        self._add_channel('Depolarizing', wires, inputs, encode)
+
+    def pauli(self, wires, inputs=None, encode=False):
+        self._add_channel('Pauli', wires, inputs, encode)
+
+    def amp_damp(self, wires, inputs=None, encode=False):
+        self._add_channel('AmplitudeDamping', wires, inputs, encode)
+
+    def phase_damp(self, wires, inputs=None, encode=False):
+        self._add_channel('PhaseDamping', wires, inputs, encode)
+
+    def gen_amp_damp(self, wires, inputs=None, encode=False):
+        self._add_channel('GeneralizedAmplitudeDamping', wires, inputs, encode)
+
+    def _add_channel(self, name, wires, inputs, encode):
+        assert self.den_mat, 'Channels act on density matrices; build the circuit with den_mat=True'
+        from .channel import CHANNEL_REGISTRY
+        reg = CHANNEL_REGISTRY[name]
+        npara = reg['npara']
+        wires = tuple(_flat_wires(wires))
+        if inputs is None:
+            values = [float(np.random.rand() * np.pi) for _ in range(npara)]
+        else:
+            values = np.asarray(inputs, dtype=np.float64).reshape(-1)
+        pidx = self._new_params(values, encode, requires_grad=False)
+        op = GateOp(name=name, wires=wires, matrix_fn=reg['fn'], pidx=pidx,
+                    npara=npara, kind='channel', requires_grad=False)
+        self.operators.append(op)
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(pidx)
+            self.ndata += npara
+        else:
+            self.npara += npara
+        self._version += 1
+        self._cache.clear()
+
+    def barrier(self, wires=None):
+        wires = self._layer_wires(wires)
+        op = GateOp(name='Barrier', wires=tuple(wires), kind='barrier')
+        self.operators.append(op)
+        self._version += 1
+        self._cache.clear()
+
+    def cut(self, wires):
+        for w in _flat_wires(wires):
+            op = GateOp(name='WireCut', wires=(w,), kind='cut')
+            self._cut_lst.append((len(self.operators), w))
+            self.operators.append(op)
+        self._version += 1
+        self._cache.clear()
+
+    def qasm(self) -> str:
+        from .qasm import cir_to_qasm2
+        return cir_to_qasm2(self)
+
+    def qasm3(self) -> str:
+        from .qasm import cir_to_qasm3
+        return cir_to_qasm3(self)

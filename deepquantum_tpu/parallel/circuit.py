@@ -1,0 +1,84 @@
+"""DistributedQubitCircuit: the distributed statevector API.
+
+Mirrors reference circuit.py:1625-1770 but is mesh-sharded, not rank-explicit:
+one Python process drives all devices; collectives are compiled by GSPMD.
+``world_size=1`` (single-device mesh) equals the local engine exactly, which
+is the same degenerate-fallback property the reference tests rely on
+(reference tests/test_circuit.py:45-141).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..circuit import QubitCircuit
+from ..config import cdtype, rdtype
+from ..ops.qmath import measure as qmeasure
+from .sharded import ShardedSimulator, make_mesh
+
+__all__ = ['DistributedQubitCircuit']
+
+
+class DistributedQubitCircuit(QubitCircuit):
+    """Amplitude-sharded statevector circuit over a jax device mesh."""
+
+    def __init__(self, nqubit: int, mesh=None, name: str | None = None,
+                 reupload: bool = False, shots: int = 1024) -> None:
+        super().__init__(nqubit=nqubit, init_state='zeros', name=name,
+                         reupload=reupload, shots=shots)
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+        self.sim = ShardedSimulator(nqubit, mesh)
+
+    def forward(self, data=None, state=None, params=None):
+        if state is None:
+            state = self.sim.init_state()
+        else:
+            state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1), self.sim.sharding)
+        key = ('dfwd', self._version, None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, state_):
+                if data_ is None:
+                    full = self._full_params(params_)
+                else:
+                    didx = self._data_indices(data_.shape[-1])
+                    full = self._full_params(params_, data_, didx)
+                return self.sim.run(self, full, state_)
+            fn = jax.jit(run, out_shardings=self.sim.sharding)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        self.state = fn(p, data, state)
+        return self.state
+
+    def expectation(self, data=None, state=None, params=None, shots: int | None = None):
+        assert len(self.observables) > 0, 'There is no observable'
+        key = ('dexp', self._version, None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_):
+                state_ = self.sim.init_state_traced()
+                if data_ is None:
+                    full = self._full_params(params_)
+                else:
+                    didx = self._data_indices(data_.shape[-1])
+                    full = self._full_params(params_, data_, didx)
+                return self.sim.expectation(self, full, state_)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        return fn(p, data)
+
+    def measure(self, shots: int | None = None, with_prob: bool = False, wires=None, key=None,
+                block_size: int = 2 ** 24):
+        if shots is None:
+            shots = self.shots
+        if self.state is None:
+            return None
+        # two-level sampling of the reference (distributed.py:205) is not
+        # needed: the categorical reduces over the sharded probs in one fused
+        # kernel; only `shots` indices come back to host.
+        return qmeasure(self.state.reshape(-1, 1), shots=shots, with_prob=with_prob,
+                        wires=wires, key=key)

@@ -1,0 +1,42 @@
+"""Transfer-safe host<->device conversion.
+
+Some TPU attachment paths (e.g. the axon remote tunnel) do not implement
+host<->device transfers of complex dtypes, while complex compute on device is
+fully supported. These helpers split complex arrays into real/imag pairs at
+the boundary, so the framework never ships a complex buffer across the wire.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['to_device', 'to_numpy']
+
+
+@jax.jit
+def _combine(re, im):
+    return re + 1j * im
+
+
+def to_device(x) -> jax.Array:
+    """Move a host array to device; complex goes as two real transfers."""
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        return x
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        re = np.ascontiguousarray(x.real)
+        im = np.ascontiguousarray(x.imag)
+        return _combine(re, im)
+    return jnp.asarray(x)
+
+
+def to_numpy(x) -> np.ndarray:
+    """Read a device array back to host; complex comes as two real reads."""
+    if isinstance(x, np.ndarray):
+        return x
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
