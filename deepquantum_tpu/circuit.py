@@ -82,6 +82,8 @@ def _eager() -> bool:
         return True
 
 
+
+
 class QubitCircuit:
     """Quantum circuit for qubits (API surface mirrors reference circuit.py:81).
 
@@ -351,6 +353,8 @@ class QubitCircuit:
     def _run_mps(self, full_params, tensors):
         from .mps import apply_gate_mps
         from .ops.apply import controlled_matrix, permute_matrix_wires
+        normalize = getattr(self.init_state, 'normalize', True)
+        state = (list(tensors), -1)
         for op in self.operators:
             if op.kind == 'barrier':
                 continue
@@ -360,8 +364,8 @@ class QubitCircuit:
             mat = controlled_matrix(mat, len(op.controls))
             order = sorted(range(len(all_wires)), key=lambda i: all_wires[i])
             mat = permute_matrix_wires(mat, order)
-            tensors = apply_gate_mps(tensors, mat, sorted(all_wires), self.chi)
-        return tensors
+            state = apply_gate_mps(state, mat, sorted(all_wires), self.chi, normalize)
+        return state[0]
 
     # --------------------------------------------------------------- forward
     def __call__(self, data=None, state=None, params=None):
@@ -428,6 +432,9 @@ class QubitCircuit:
             tensors = state.tensors
         else:
             tensors = state
+        if _eager():
+            from .utils.compat import to_device
+            tensors = [to_device(t) if isinstance(t, np.ndarray) else t for t in tensors]
         key = ('fwd_mps', self._version, None if data is None else jnp.shape(data))
         fn = self._cache.get(key)
         if fn is None:
@@ -435,17 +442,19 @@ class QubitCircuit:
                 if data_ is None:
                     full = self._full_params(params_)
                     return self._run_mps(full, tensors_)
-                data_idx = self._data_indices(data_.shape[-1])
-                def one(d):
-                    full = self._full_params(params_, d, data_idx)
-                    return self._run_mps(full, tensors_)
                 if data_.ndim == 1:
-                    return one(data_)
-                return jax.vmap(one)(data_)
+                    full = self._full_params(params_, data_, self._data_indices(data_.shape[-1]))
+                    return self._run_mps(full, tensors_)
+                didx = self._data_indices(data_.shape[-1])
+                return jax.vmap(lambda d: self._run_mps(self._full_params(params_, d, didx), tensors_))(data_)
             fn = jax.jit(run)
             self._cache[key] = fn
         ptree = None if params is None else jnp.asarray(params, dtype=rdtype())
-        self.state = fn(ptree, data, tensors)
+        out = fn(ptree, data, tensors)
+        if _eager():
+            from .utils.compat import normalize_layout
+            out = [normalize_layout(t) for t in out]
+        self.state = out
         return self.state
 
     # ------------------------------------------------------------ observables
@@ -496,9 +505,17 @@ class QubitCircuit:
                     vals.append(expectation_pauli(x, ox))
             return jnp.stack(vals, axis=-1)
         batched = (state.ndim == 3)
-        if batched:
-            return jax.vmap(one_state_expvals)(state)
-        return one_state_expvals(state)
+        fn = one_state_expvals if not batched else jax.vmap(one_state_expvals)
+        if _eager():
+            key = ('expval', self._version, len(self.observables),
+                   tuple(tuple(map(tuple, o.wires)) + (o.basis,) for o in self.observables),
+                   jnp.shape(state))
+            jfn = self._cache.get(key)
+            if jfn is None:
+                jfn = jax.jit(fn)
+                self._cache[key] = jfn
+            fn = jfn
+        return fn(state)
 
     def _expectation_shots(self, state, shots: int):
         from .ops.qmath import sample2expval
@@ -611,8 +628,8 @@ class QubitCircuit:
         assert not self.den_mat
         assert len(bits) == self.nqubit
         if self.mps:
-            amp = jnp.ones((1, 1), dtype=cdtype())
-            raise NotImplementedError('MPS get_amplitude comes with the MPS backend')
+            from .mps import bitstring_amplitude
+            return bitstring_amplitude(self.state, jnp.array([int(b) for b in bits]))
         state = self.state.reshape([-1] + [2] * self.nqubit)
         for b in bits:
             state = state[:, int(b)].reshape([state.shape[0]] + [2] * (state.ndim - 2))

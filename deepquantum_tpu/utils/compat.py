@@ -12,7 +12,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['to_device', 'to_numpy']
+__all__ = ['to_device', 'to_numpy', 'normalize_layout']
+
+
+def normalize_layout(x):
+    """Re-materialize a device array with the default row-major layout.
+
+    Linalg custom-calls (QR/SVD) can leave outputs in layouts that make every
+    downstream jit dispatch recompile pathologically (minutes on remote AOT
+    backends). A device_put with an explicit default Layout restores the fast
+    path; on CPU it is a no-op copy.
+    """
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        try:
+            from jax.experimental.layout import Format, Layout
+            return jax.device_put(x, Format(Layout(tuple(range(x.ndim))), x.sharding))
+        except Exception:  # noqa: BLE001 — layout API absent: keep as-is
+            return x
+    return x
 
 
 @jax.jit
