@@ -1,0 +1,773 @@
+"""QumodeCircuit: the photonic circuit API (Fock / Gaussian / Bosonic backends).
+
+TPU-native redesign of reference src/deepquantum/photonic/circuit.py:77-2860.
+Like the qubit stack, a circuit is an IR of gate descriptors plus a flat
+parameter vector; each backend is a pure jitted program:
+
+- Fock basis mode: final amplitudes as ONE dense vector over a static basis
+  table (vmapped permanents on the MXU) — the reference's dict-of-FockState is
+  kept as a host-side view (reference circuit.py:375-403 builds dicts inside
+  the hot loop, which cannot jit).
+- Fock tensor mode: (cutoff,)*nmode state evolution reusing the qudit
+  evolve_state kernel.
+- Gaussian/Bosonic: affine symplectic folds on (cov, mean[, weight]).
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+import itertools
+from collections import defaultdict
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..config import cdtype, rdtype
+from ..ops.apply import evolve_den_mat, evolve_state
+from . import gates as PG
+from .gates import PHOTONIC_REGISTRY, passive_xp_from_unitary, uany_fock_np
+from .qmath import (
+    fock_combinations,
+    ladder_to_quadrature,
+    permanent,
+    photon_number_mean_var,
+    quadrature_to_ladder,
+    sub_matrix,
+    xpxp_to_xxpp,
+    xxpp_to_xpxp,
+)
+from .state import BosonicState, FockState, GaussianState
+
+__all__ = ['QumodeCircuit', 'PhotonicOp']
+
+
+def _eager() -> bool:
+    try:
+        return type(jax.core.trace_ctx.trace).__name__ == 'EvalTrace'
+    except AttributeError:
+        return True
+
+
+class PhotonicOp:
+    """One photonic operation in the IR."""
+
+    def __init__(self, name, wires, pidx=(), npara=0, kind='gate',
+                 unitary_fn=None, xp_fn=None, fock_fn=None,
+                 static_unitary=None, extra=None):
+        self.name = name
+        self.wires = tuple(wires)
+        self.pidx = tuple(pidx)
+        self.npara = npara
+        self.kind = kind
+        self.unitary_fn = unitary_fn
+        self.xp_fn = xp_fn
+        self.fock_fn = fock_fn
+        self.static_unitary = static_unitary
+        self.extra = extra or {}
+
+    def params(self, full):
+        if not self.npara:
+            return None
+        return full[jnp.array(self.pidx, jnp.int32)]
+
+    def unitary(self, full):
+        """k x k creation-op unitary (passive gates)."""
+        if self.static_unitary is not None:
+            return np.asarray(self.static_unitary, dtype=cdtype())
+        assert self.unitary_fn is not None, f'{self.name} is not a passive linear-optical gate'
+        return self.unitary_fn(self.params(full))
+
+    def xp(self, full):
+        assert self.xp_fn is not None, f'{self.name} has no symplectic representation'
+        return self.xp_fn(self.params(full))
+
+    def fock(self, full, cutoff):
+        if 'static_fock' in self.extra:
+            return self.extra['static_fock']
+        assert self.fock_fn is not None, f'{self.name} has no Fock representation'
+        return self.fock_fn(self.params(full), cutoff)
+
+
+class QumodeCircuit:
+    """Photonic quantum circuit (API mirrors reference photonic/circuit.py:77).
+
+    Args:
+        nmode: number of modes.
+        init_state: Fock basis ints / dense tensor / 'vac' / [cov, mean] / state object.
+        cutoff: Fock truncation.
+        backend: 'fock' | 'gaussian' | 'bosonic'.
+        basis: Fock-basis mode (permanent-based) vs tensor mode.
+        detector: 'pnrd' | 'threshold' (Gaussian probabilities).
+        den_mat: density-matrix Fock simulation.
+        noise / mu / sigma: Gaussian parameter noise applied at build time.
+    """
+
+    def __init__(self, nmode: int, init_state: Any = None, cutoff: int | None = None,
+                 backend: str = 'fock', basis: bool = True, detector: str = 'pnrd',
+                 name: str | None = None, den_mat: bool = False, mps: bool = False,
+                 chi: int | None = None, noise: bool = False, mu: float = 0,
+                 sigma: float = 0.1) -> None:
+        self.nmode = nmode
+        self.backend = backend
+        self.basis = basis if backend == 'fock' else False
+        self.detector = detector.lower()
+        self.name = name
+        self.den_mat = den_mat
+        self.mps = mps
+        self.chi = chi
+        self.noise = noise
+        self.mu = mu
+        self.sigma = sigma
+        self.operators: list[PhotonicOp] = []
+        self.encoders: list[PhotonicOp] = []
+        self._pvals: list[float] = []
+        self._train_mask: list[bool] = []
+        self._enc_pidx: list[int] = []
+        self.npara = 0
+        self.ndata = 0
+        self.state = None
+        self._basis_table = None   # list of FockState int tuples for basis mode output
+        self._version = 0
+        self._cache: dict = {}
+        self.wires_homodyne: list = []
+        if cutoff is None:
+            cutoff = 2 if backend == 'fock' else 5
+        self.cutoff = cutoff
+        self.set_init_state(init_state)
+
+    # ---------------------------------------------------------------- state
+    def set_init_state(self, init_state: Any) -> None:
+        if self.backend == 'fock':
+            if init_state is None:
+                init_state = [0] * self.nmode
+            if isinstance(init_state, FockState):
+                self.init_state = init_state
+            else:
+                self.init_state = FockState(init_state, self.nmode, self.cutoff,
+                                            self.basis, self.den_mat)
+            self.cutoff = self.init_state.cutoff
+        elif self.backend == 'gaussian':
+            if init_state is None:
+                init_state = 'vac'
+            if isinstance(init_state, GaussianState):
+                self.init_state = init_state
+            else:
+                self.init_state = GaussianState(init_state, self.nmode, self.cutoff)
+        elif self.backend == 'bosonic':
+            if init_state is None:
+                init_state = 'vac'
+            if isinstance(init_state, BosonicState):
+                self.init_state = init_state
+            else:
+                self.init_state = BosonicState(init_state, self.nmode, self.cutoff)
+        else:
+            raise ValueError(f'Unknown backend {self.backend}')
+
+    # ---------------------------------------------------------- parameters
+    @property
+    def params(self) -> jnp.ndarray:
+        idx = [i for i, t in enumerate(self._train_mask) if t]
+        return jnp.asarray(np.asarray(self._pvals, np.float64)[idx], dtype=rdtype())
+
+    @params.setter
+    def params(self, values) -> None:
+        idx = [i for i, t in enumerate(self._train_mask) if t]
+        values = np.asarray(values, np.float64).reshape(-1)
+        for i, v in zip(idx, values):
+            self._pvals[i] = float(v)
+
+    def _full_params(self, params=None, data=None, data_idx=None) -> jnp.ndarray:
+        full = jnp.asarray(np.asarray(self._pvals, np.float64), dtype=rdtype())
+        if params is not None:
+            ti = [i for i, t in enumerate(self._train_mask) if t]
+            full = full.at[jnp.array(ti, jnp.int32)].set(jnp.asarray(params, rdtype()).reshape(-1))
+        if data is not None and self._enc_pidx:
+            data = jnp.asarray(data, rdtype()).reshape(-1)
+            full = full.at[jnp.array(self._enc_pidx, jnp.int32)].set(data[jnp.array(data_idx, jnp.int32)])
+        return full
+
+    def _data_indices(self, data_len: int) -> list[int]:
+        assert data_len >= self.ndata, 'The circuit needs more data'
+        return list(range(self.ndata))
+
+    def _new_params(self, values, encode, requires_grad):
+        start = len(self._pvals)
+        if self.noise:
+            values = [v + np.random.normal(self.mu, self.sigma) for v in values]
+        idx = tuple(range(start, start + len(values)))
+        self._pvals.extend(float(v) for v in values)
+        self._train_mask.extend([requires_grad and not encode] * len(values))
+        return idx
+
+    # ------------------------------------------------------------------ add
+    def add_op(self, name: str, wires, inputs=None, encode=False, requires_grad=None,
+               unitary_fn=None, xp_fn=None, fock_fn=None, npara=None,
+               static_unitary=None, kind='gate', extra=None) -> PhotonicOp:
+        wires = [wires] if isinstance(wires, int) else list(wires)
+        reg = PHOTONIC_REGISTRY.get(name)
+        if unitary_fn is None and fock_fn is None and xp_fn is None and static_unitary is None:
+            assert reg is not None, f'Unknown photonic gate {name}'
+            unitary_fn, xp_fn, fock_fn = reg['unitary'], reg['xp'], reg['fock']
+            npara = reg['npara']
+        npara = npara or 0
+        if requires_grad is None:
+            requires_grad = inputs is None and npara > 0 and not encode
+        if npara:
+            if inputs is None:
+                values = [float(np.random.rand() * 2 * np.pi) for _ in range(npara)]
+            else:
+                values = list(np.asarray(inputs, np.float64).reshape(-1))
+                assert len(values) == npara
+            pidx = self._new_params(values, encode, requires_grad)
+        else:
+            pidx = ()
+        op = PhotonicOp(name, wires, pidx, npara, kind, unitary_fn, xp_fn, fock_fn,
+                        static_unitary, extra)
+        self.operators.append(op)
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(pidx)
+            self.ndata += npara
+        else:
+            self.npara += npara
+        self._version += 1
+        self._cache.clear()
+        self._basis_table = None
+        return op
+
+    def add(self, op, encode: bool = False, wires=None) -> None:
+        if isinstance(op, QumodeCircuit):
+            assert self.nmode == op.nmode
+            offset = len(self._pvals)
+            self._pvals.extend(op._pvals)
+            self._train_mask.extend(op._train_mask)
+            for g in op.operators:
+                g2 = _copy.copy(g)
+                g2.pidx = tuple(i + offset for i in g.pidx)
+                self.operators.append(g2)
+                if g in op.encoders:
+                    self.encoders.append(g2)
+                    self._enc_pidx.extend(g2.pidx)
+            self.npara += op.npara
+            self.ndata += op.ndata
+            self._version += 1
+            self._cache.clear()
+            self._basis_table = None
+            return
+        assert isinstance(op, PhotonicOp)
+        if wires is not None:
+            op = _copy.copy(op)
+            op.wires = tuple([wires] if isinstance(wires, int) else wires)
+        self.operators.append(op)
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(op.pidx)
+            self.ndata += op.npara
+        else:
+            self.npara += op.npara
+        self._version += 1
+        self._cache.clear()
+        self._basis_table = None
+
+    # ----------------------------------------------------------- global ops
+    def get_unitary(self, params=None, data=None) -> jnp.ndarray:
+        """Global nmode x nmode creation-op unitary (reference circuit.py:868)."""
+        didx = None if data is None else self._data_indices(np.shape(data)[-1])
+        full = self._full_params(params, data, didx)
+        return self._get_unitary_traced(full)
+
+    def _get_unitary_traced(self, full) -> jnp.ndarray:
+        u = jnp.eye(self.nmode, dtype=cdtype())
+        for op in self.operators:
+            if op.kind != 'gate':
+                continue
+            mat = op.unitary(full)
+            ix = np.ix_(op.wires, op.wires)
+            u_op = jnp.eye(self.nmode, dtype=cdtype()).at[ix].set(jnp.asarray(mat, cdtype()))
+            u = u_op @ u
+        return u
+
+    def get_symplectic(self, params=None) -> jnp.ndarray:
+        """Global symplectic matrix in xxpp (reference circuit.py:907)."""
+        full = self._full_params(params)
+        s = jnp.eye(2 * self.nmode, dtype=rdtype())
+        for op in self.operators:
+            if op.kind != 'gate':
+                continue
+            s = self._global_xp(op, full)[0] @ s
+        return s
+
+    def _global_xp(self, op: PhotonicOp, full):
+        if op.xp_fn is None and (op.unitary_fn is not None or op.static_unitary is not None):
+            m, v = passive_xp_from_unitary(jnp.asarray(op.unitary(full)))
+        else:
+            m, v = op.xp(full)
+        wires = list(op.wires) + [w + self.nmode for w in op.wires]
+        ix = np.ix_(wires, wires)
+        s = jnp.eye(2 * self.nmode, dtype=rdtype()).at[ix].set(m.astype(rdtype()))
+        d = jnp.zeros((2 * self.nmode, 1), rdtype()).at[np.asarray(wires)].set(v.astype(rdtype()))
+        return s, d
+
+    def get_displacement(self, init_mean, params=None) -> jnp.ndarray:
+        """Final mean vector after all ops (reference circuit.py:924)."""
+        full = self._full_params(params)
+        mean = jnp.asarray(init_mean, rdtype())
+        for op in self.operators:
+            if op.kind != 'gate':
+                continue
+            s, d = self._global_xp(op, full)
+            mean = s @ mean + d
+        return mean
+
+    # --------------------------------------------------------------- forward
+    def __call__(self, data=None, state=None, is_prob=None, detector=None,
+                 sort=True, stepwise=False, params=None):
+        return self.forward(data, state, is_prob, detector, sort, stepwise, params)
+
+    def forward(self, data=None, state=None, is_prob=None, detector=None,
+                sort=True, stepwise=False, params=None):
+        if self.backend == 'fock':
+            return self._forward_fock(data, state, is_prob, sort, params)
+        return self._forward_cv(data, state, is_prob, detector, params)
+
+    # Fock-basis helpers ----------------------------------------------------
+    def _basis_input(self, state) -> np.ndarray:
+        if state is None:
+            state = self.init_state
+        if isinstance(state, FockState):
+            state = state.state
+        return np.asarray(state, dtype=np.int64)
+
+    def _output_basis(self, in_state: np.ndarray) -> list:
+        nphoton = int(np.sum(in_state))
+        return [tuple(s) for s in fock_combinations(self.nmode, nphoton, self.cutoff)]
+
+    def _forward_fock(self, data, state, is_prob, sort, params=None):
+        if not self.basis:
+            return self._forward_fock_tensor(data, state, is_prob, params)
+        in_state = self._basis_input(state)
+        assert in_state.ndim == 1, 'batched basis input: loop on host'
+        if is_prob is None and data is None and params is None:
+            self.state = self.get_unitary()
+            return self.state
+        out_basis = self._output_basis(in_state)
+        self._basis_table = out_basis
+        amps = self._fock_basis_amps(data, in_state, out_basis, params)
+        if is_prob is None:
+            self.state = self.get_unitary(params, data)
+            return self.state
+        if is_prob:
+            vals = jnp.abs(amps) ** 2 if amps.ndim == 1 else jnp.abs(amps) ** 2
+        else:
+            vals = amps
+        out = {}
+        batched = vals.ndim == 2
+        for i, b in enumerate(out_basis):
+            fs = FockState(list(b), self.nmode, self.cutoff, basis=True)
+            out[fs] = vals[..., i]
+        if sort and is_prob is not None:
+            key_fn = (lambda kv: -float(jnp.sum(jnp.abs(kv[1])))) if not batched else \
+                     (lambda kv: -float(jnp.sum(jnp.abs(kv[1]))))
+            out = dict(sorted(out.items(), key=key_fn))
+        self.state = out
+        return out
+
+    def _fock_basis_amps(self, data, in_state, out_basis, params=None) -> jnp.ndarray:
+        """Dense amplitude vector over the static output-basis table."""
+        key = ('fock_amps', self._version, tuple(in_state), tuple(out_basis),
+               None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            nphoton = int(np.sum(in_state))
+            col_idx = np.repeat(np.arange(self.nmode), in_state)
+            row_idx = np.stack([np.repeat(np.arange(self.nmode), b) for b in out_basis])
+            from math import factorial
+            norms = np.array([
+                np.sqrt(np.prod([factorial(int(x)) for x in in_state])
+                        * np.prod([factorial(int(x)) for x in b]))
+                for b in out_basis])
+
+            def amps_fn(params_, data_):
+                didx = None if data_ is None else self._data_indices(data_.shape[-1])
+                def one(d):
+                    full = self._full_params(params_, d, didx)
+                    u = self._get_unitary_traced(full)
+                    sub = u[row_idx[:, :, None], col_idx[None, None, :]]  # (nout, k, k)
+                    perms = jax.vmap(permanent)(sub)
+                    return perms / jnp.asarray(norms, cdtype())
+                if data_ is None:
+                    return one(None)
+                if data_.ndim == 1:
+                    return one(data_)
+                return jax.vmap(one)(data_)
+            fn = jax.jit(amps_fn)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        return fn(p, data)
+
+    # Fock-tensor helpers ---------------------------------------------------
+    def _forward_fock_tensor(self, data, state, is_prob, params=None):
+        if state is None:
+            state = self.init_state
+        if isinstance(state, FockState):
+            state = state.state
+        state = np.asarray(state) if isinstance(state, (list, np.ndarray)) else state
+        if isinstance(state, np.ndarray):
+            state = state.astype(cdtype())
+            if _eager():
+                from ..utils.compat import to_device
+                state = to_device(state)
+        key = ('fock_tensor', self._version, None if data is None else jnp.shape(data), bool(is_prob))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, state_):
+                didx = None if data_ is None else self._data_indices(data_.shape[-1])
+                def one(d, s):
+                    full = self._full_params(params_, d, didx)
+                    return self._run_fock_tensor(full, s, is_prob)
+                if data_ is None:
+                    return one(None, state_)
+                if data_.ndim == 1:
+                    return one(data_, state_)
+                return jax.vmap(one, in_axes=(0, None))(data_, state_)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        self.state = fn(p, data, state)
+        return self.state
+
+    def _run_fock_tensor(self, full, x, is_prob=None):
+        c = self.cutoff
+        n = self.nmode
+        shape = [c] * (2 * n) if self.den_mat else [c] * n
+        x = x.reshape(shape)
+        for op in self.operators:
+            if op.kind != 'gate':
+                continue
+            k = len(op.wires)
+            mat = op.fock(full, c)
+            mat = jnp.asarray(mat, cdtype()).reshape(c ** k, c ** k)
+            if self.den_mat:
+                x = evolve_den_mat(x, mat, n, list(op.wires), qudit=c)
+            else:
+                x = evolve_state(x, mat, n, list(op.wires), qudit=c)
+        if is_prob:
+            if self.den_mat:
+                diag = jnp.diagonal(x.reshape(c ** n, c ** n))
+                return jnp.abs(diag).reshape([c] * n)
+            return jnp.abs(x) ** 2
+        return x
+
+    # CV helpers ------------------------------------------------------------
+    def _forward_cv(self, data, state, is_prob, detector, params=None):
+        if state is None:
+            state = self.init_state
+        elif not isinstance(state, (GaussianState, BosonicState)):
+            if self.backend == 'gaussian':
+                state = GaussianState(state, self.nmode, self.cutoff)
+            else:
+                state = BosonicState(state, self.nmode, self.cutoff)
+        cov = jnp.asarray(state.cov, rdtype())
+        mean_in = state.mean
+        weight = jnp.asarray(state.weight, cdtype()) if self.backend == 'bosonic' else None
+        complex_mean = np.iscomplexobj(np.asarray(mean_in)) if isinstance(mean_in, np.ndarray) else False
+        mean = jnp.asarray(mean_in, cdtype() if self.backend == 'bosonic' else rdtype())
+        key = ('cv', self._version, None if data is None else jnp.shape(data),
+               jnp.shape(cov), self.backend)
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, cov_, mean_):
+                didx = None if data_ is None else self._data_indices(data_.shape[-1])
+                def one(d, c_, m_):
+                    full = self._full_params(params_, d, didx)
+                    return self._run_cv(full, c_, m_)
+                if data_ is None:
+                    return one(None, cov_, mean_)
+                if data_.ndim == 1:
+                    return one(data_, cov_, mean_)
+                return jax.vmap(one, in_axes=(0, None, None))(data_, cov_, mean_)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        cov, mean = fn(p, data, cov, mean)
+        self._cv_state = [cov, mean] if weight is None else [cov, mean, weight]
+        if is_prob:
+            self.state = self._forward_cv_prob(cov, mean, weight, detector)
+        elif self.backend == 'bosonic':
+            self.state = [cov, mean, weight]
+        else:
+            self.state = [cov, mean]
+        return self.state
+
+    def _run_cv(self, full, cov, mean):
+        """Fold the affine symplectic ops over (cov, mean); batched leading dims ok."""
+        for op in self.operators:
+            if op.kind != 'gate':
+                continue
+            s, d = self._global_xp(op, full)
+            cov = s @ cov @ s.T
+            mean = s.astype(mean.dtype) @ mean + d.astype(mean.dtype)
+        return cov, mean
+
+    def _forward_cv_prob(self, cov, mean, weight=None, detector=None):
+        from .gaussian_prob import fock_probs_gaussian
+        detector = (detector or self.detector).lower()
+        probs, basis = fock_probs_gaussian(cov, mean, self.cutoff, detector)
+        out = {}
+        for i, b in enumerate(basis):
+            fs = FockState(list(b), self.nmode, self.cutoff, basis=True)
+            out[fs] = probs[..., i]
+        return dict(sorted(out.items(), key=lambda kv: -float(jnp.sum(jnp.abs(kv[1])))))
+
+    # ------------------------------------------------------------- measure
+    def measure(self, shots: int = 1024, with_prob: bool = False, wires=None,
+                detector=None, key=None, mcmc: bool = False):
+        """Sample Fock-basis outcomes from the final state (reference circuit.py:1198)."""
+        from ..ops.qmath import next_key, sample_probs
+        from collections import Counter
+        assert self.state is not None, 'Run the circuit forward before measurement'
+        if key is None:
+            key = next_key()
+        if self.backend == 'fock' and self.basis:
+            basis = list(self.state.keys())
+            vals = jnp.stack([jnp.asarray(self.state[b]) for b in basis], -1)
+            probs = jnp.abs(vals) ** 2 if jnp.iscomplexobj(vals) else vals
+            probs_np = np.asarray(probs, np.float64)
+            single = probs_np.ndim == 1
+            probs_np = probs_np.reshape(-1, probs_np.shape[-1])
+            results = []
+            for row in probs_np:
+                samples = Counter(sample_probs(jnp.asarray(row / row.sum()), shots, key).tolist())
+                res = {basis[i]: (v, row[i]) if with_prob else v for i, v in samples.items()}
+                results.append(res)
+            return results[0] if single else results
+        if self.backend == 'fock' and not self.basis:
+            x = self.state
+            c, n = self.cutoff, self.nmode
+            if self.den_mat:
+                probs = jnp.abs(jnp.diagonal(x.reshape(-1, c ** n, c ** n), axis1=-2, axis2=-1))
+            else:
+                probs = (jnp.abs(x) ** 2).reshape(-1, c ** n)
+            single = (x.ndim == n) or (self.den_mat and x.ndim == 2 * n)
+            probs_np = np.asarray(probs, np.float64)
+            results = []
+            for row in probs_np:
+                samples = Counter(sample_probs(jnp.asarray(row / row.sum()), shots, key).tolist())
+                res = {}
+                for idx, v in samples.items():
+                    b = np.unravel_index(idx, [c] * n)
+                    fs = FockState(list(b), n, c, basis=True)
+                    res[fs] = (v, row[idx]) if with_prob else v
+                results.append(res)
+            return results[0] if single else results
+        if self.backend in ('gaussian', 'bosonic'):
+            if isinstance(self.state, dict):  # forward already computed probabilities
+                probs_dict = self.state
+            else:
+                probs_dict = self._forward_cv_prob(self.state[0], self.state[1],
+                                                   self.state[2] if len(self.state) > 2 else None,
+                                                   detector)
+            basis = list(probs_dict.keys())
+            probs = np.asarray(jnp.stack([jnp.asarray(probs_dict[b]).real for b in basis], -1), np.float64)
+            single = probs.ndim == 1 or probs.shape[0] == 1
+            probs = probs.reshape(-1, probs.shape[-1])
+            results = []
+            for row in probs:
+                row = np.clip(row, 0, None)
+                samples = Counter(sample_probs(jnp.asarray(row / row.sum()), shots, key).tolist())
+                res = {basis[i]: (v, row[i]) if with_prob else v for i, v in samples.items()}
+                results.append(res)
+            return results[0] if single else results
+        raise NotImplementedError
+
+    def photon_number_mean_var(self, wires=None):
+        """Photon statistics for the Gaussian backend (reference circuit.py:1645)."""
+        assert self.backend in ('gaussian', 'bosonic')
+        state = self._cv_state if isinstance(self.state, dict) else self.state
+        cov, mean = state[0], state[1]
+        exp, var = photon_number_mean_var(cov, mean)
+        if wires is not None:
+            wires = [wires] if isinstance(wires, int) else list(wires)
+            exp = exp[..., jnp.array(wires)]
+            var = var[..., jnp.array(wires)]
+        return exp, var
+
+    def get_amplitude(self, final_state, init_state=None, unitary=None) -> jnp.ndarray:
+        """Transfer amplitude <final|U|init> for the Fock-basis backend."""
+        assert self.backend == 'fock'
+        final_state = np.asarray(final_state, np.int64)
+        in_state = self._basis_input(init_state)
+        if unitary is None:
+            unitary = self.get_unitary()
+        if int(final_state.sum()) != int(in_state.sum()):
+            return jnp.zeros((), cdtype())
+        sub = sub_matrix(unitary, in_state, final_state)
+        from math import factorial
+        norm = np.sqrt(np.prod([factorial(int(x)) for x in in_state])
+                       * np.prod([factorial(int(x)) for x in final_state]))
+        return permanent(sub) / norm
+
+    def get_prob(self, final_state, refer_state=None, unitary=None) -> jnp.ndarray:
+        if self.backend == 'fock':
+            amp = self.get_amplitude(final_state, refer_state, unitary)
+            return jnp.abs(amp) ** 2
+        raise NotImplementedError('Gaussian get_prob comes with gaussian_prob')
+
+    @property
+    def max_depth(self) -> int:
+        depth = np.zeros(self.nmode, np.int64)
+        for op in self.operators:
+            for w in op.wires:
+                depth[w] += 1
+        return int(depth.max())
+
+    # ------------------------------------------------------------ gate sugar
+    def ps(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('PhaseShift', wires, inputs, encode)
+
+    def bs(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('BeamSplitter', wires, inputs, encode)
+
+    def mzi(self, wires, inputs=None, phi_first=True, encode=False, mu=None, sigma=None):
+        self.add_op('MZI', wires, inputs, encode,
+                    unitary_fn=lambda p, _pf=phi_first: PG.mzi_unitary(p, _pf),
+                    xp_fn=lambda p, _pf=phi_first: passive_xp_from_unitary(PG.mzi_unitary(p, _pf)),
+                    fock_fn=lambda p, c, _pf=phi_first: PG.mzi_fock(p, c, _pf), npara=2)
+
+    def bs_theta(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self._bs_fixed_phi(wires, inputs, encode, phi=0.0, name='BeamSplitterTheta')
+
+    def bs_phi(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self._bs_fixed_theta(wires, inputs, encode, theta=np.pi / 4, name='BeamSplitterPhi')
+
+    def _bs_fixed_phi(self, wires, inputs, encode, phi, name):
+        fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.asarray(phi, rdtype())]))
+        self.add_op(name, wires, inputs, encode, unitary_fn=fn_u,
+                    xp_fn=lambda p: passive_xp_from_unitary(fn_u(p)),
+                    fock_fn=lambda p, c: PG.bs_fock_from_unitary(fn_u(p), c), npara=1)
+
+    def _bs_fixed_theta(self, wires, inputs, encode, theta, name):
+        fn_u = lambda p: PG.bs_unitary(jnp.stack([jnp.asarray(theta, rdtype()), p[0]]))
+        self.add_op(name, wires, inputs, encode, unitary_fn=fn_u,
+                    xp_fn=lambda p: passive_xp_from_unitary(fn_u(p)),
+                    fock_fn=lambda p, c: PG.bs_fock_from_unitary(fn_u(p), c), npara=1)
+
+    def bs_rx(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self._bs_single(wires, inputs, encode, 'rx')
+
+    def bs_ry(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self._bs_single(wires, inputs, encode, 'ry')
+
+    def bs_h(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self._bs_single(wires, inputs, encode, 'h')
+
+    def _bs_single(self, wires, inputs, encode, conv):
+        fn_u = lambda p, _c=conv: PG.bs_single_unitary(p, _c)
+        self.add_op(f'BeamSplitterSingle_{conv}', wires, inputs, encode, unitary_fn=fn_u,
+                    xp_fn=lambda p: passive_xp_from_unitary(fn_u(p)),
+                    fock_fn=lambda p, c: PG.bs_fock_from_unitary(fn_u(p), c), npara=1)
+
+    def dc(self, wires, mu=None, sigma=None):
+        self._bs_single(wires, [np.pi / 2], False, 'rx')
+
+    def h(self, wires, mu=None, sigma=None):
+        self._bs_single(wires, [np.pi / 2], False, 'h')
+
+    def any(self, unitary, wires=None, minmax=None, name='uany'):
+        if wires is None:
+            if minmax is None:
+                minmax = [0, self.nmode - 1]
+            wires = list(range(minmax[0], minmax[1] + 1))
+        wires = [wires] if isinstance(wires, int) else list(wires)
+        u = np.asarray(unitary, dtype=np.complex128)
+        extra = {}
+        if self.backend == 'fock' and not self.basis:
+            extra['static_fock'] = uany_fock_np(u, len(wires), self.cutoff).astype(cdtype())
+        self.add_op(name, wires, None, False, static_unitary=u.astype(cdtype()),
+                    xp_fn=None, npara=0, extra=extra)
+
+    def clements(self, unitary, wires=None, minmax=None, mu=None, sigma=None):
+        """Decompose a unitary into an MZI mesh and add it (reference circuit.py:2262)."""
+        from .decompose import UnitaryDecomposer
+        if wires is None:
+            if minmax is None:
+                minmax = [0, self.nmode - 1]
+            wires = list(range(minmax[0], minmax[1] + 1))
+        wires = sorted([wires] if isinstance(wires, int) else list(wires))
+        unitary = np.asarray(unitary, dtype=np.complex128)
+        ud = UnitaryDecomposer(unitary)
+        mzi_info = ud.decomp()[1]
+        phase_angle = mzi_info['phase_angle']
+        assert len(phase_angle) == len(wires)
+        dic_mzi = sorted(mzi_info['MZI_list'], key=lambda x: (x[0], x[1]))
+        for idx1, idx2, phi, theta in dic_mzi:
+            self.mzi([wires[int(idx1)], wires[int(idx2)]], inputs=[theta, phi])
+        for wire, angle in zip(wires, phase_angle):
+            self.ps(wire, inputs=angle)
+
+    def s(self, wires, r=None, theta=None, encode=False, mu=None, sigma=None):
+        inputs = self._rt_inputs(r, theta)
+        self.add_op('Squeezing', wires, inputs, encode)
+
+    def s2(self, wires, r=None, theta=None, encode=False, mu=None, sigma=None):
+        inputs = self._rt_inputs(r, theta)
+        self.add_op('Squeezing2', wires, inputs, encode)
+
+    def d(self, wires, r=None, theta=None, encode=False, mu=None, sigma=None):
+        inputs = self._rt_inputs(r, theta)
+        self.add_op('Displacement', wires, inputs, encode)
+
+    def _rt_inputs(self, r, theta):
+        if r is None and theta is None:
+            return None
+        if r is None:
+            return [float(np.random.rand()), theta]
+        if theta is None:
+            return [r, 0]
+        return [r, theta]
+
+    def x(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('DisplacementPosition', wires, inputs, encode)
+
+    def z(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('DisplacementMomentum', wires, inputs, encode)
+
+    def r(self, wires, inputs=None, encode=False, inv_mode=False, mu=None, sigma=None):
+        if inv_mode:
+            fn_u = lambda p: PG.ps_unitary(-p)
+            self.add_op('PhaseShiftInv', wires, inputs, encode, unitary_fn=fn_u,
+                        xp_fn=lambda p: PG.ps_xp(-p),
+                        fock_fn=lambda p, c: PG.ps_fock(-p, c), npara=1)
+        else:
+            self.add_op('PhaseShift', wires, inputs, encode)
+
+    def f(self, wires, mu=None, sigma=None):
+        self.add_op('PhaseShift', wires, [np.pi / 2], False)
+
+    def qp(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('QuadraticPhase', wires, inputs, encode)
+
+    def cx(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('ControlledX', wires, inputs, encode)
+
+    def cz(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('ControlledZ', wires, inputs, encode)
+
+    def cp(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('CubicPhase', wires, inputs, encode)
+
+    def k(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('Kerr', wires, inputs, encode)
+
+    def ck(self, wires, inputs=None, encode=False, mu=None, sigma=None):
+        self.add_op('CrossKerr', wires, inputs, encode)
+
+    def barrier(self, wires=None):
+        wires = list(range(self.nmode)) if wires is None else wires
+        op = PhotonicOp('Barrier', [wires] if isinstance(wires, int) else wires, kind='barrier')
+        self.operators.append(op)
+        self._version += 1
+        self._cache.clear()

@@ -1,0 +1,270 @@
+"""Photonic math: ladder ops, quadrature conversions, permanent, Fock utilities.
+
+TPU-native counterpart of reference src/deepquantum/photonic/qmath.py. The
+permanent uses a vectorized Ryser formula: the 2^n subset dimension becomes a
+batched matmul against the subset-mask matrix (MXU work), chunked with
+lax.scan to bound memory — replacing the reference's vmap-over-powerset with
+host-tuned chunk sizes (reference photonic/qmath.py:121-146).
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..config import cdtype, rdtype
+
+__all__ = [
+    'ladder_ops', 'xxpp_to_xpxp', 'xpxp_to_xxpp', 'quadrature_to_ladder', 'ladder_to_quadrature',
+    'permanent', 'sub_matrix', 'fock_combinations', 'takagi', 'williamson', 'shift_func',
+    'photon_number_mean_var', 'sqrtm_herm',
+]
+
+
+def ladder_ops(cutoff: int):
+    """Annihilation/creation operator matrices (reference photonic/qmath.py:195)."""
+    sqrt = np.sqrt(np.arange(1, cutoff))
+    a = np.diag(sqrt, k=1).astype(cdtype())
+    ad = a.conj().T
+    return a, ad
+
+
+def shift_func(lst: list, nstep: int) -> list:
+    """Shift a list left by nstep (reference photonic/qmath.py:203)."""
+    if len(lst) <= 1:
+        return lst
+    nstep = nstep % len(lst)
+    return lst[nstep:] + lst[:nstep]
+
+
+def xxpp_to_xpxp(matrix):
+    """xxpp ordering -> xpxp ordering (reference photonic/qmath.py:214)."""
+    nmode = matrix.shape[-2] // 2
+    idx = np.arange(2 * nmode).reshape(2, nmode).T.flatten()
+    if matrix.shape[-1] == 2 * nmode:
+        return matrix[..., idx[:, None], idx]
+    return matrix[..., idx, :]
+
+
+def xpxp_to_xxpp(matrix):
+    """xpxp ordering -> xxpp ordering (reference photonic/qmath.py:224)."""
+    nmode = matrix.shape[-2] // 2
+    idx = np.arange(2 * nmode).reshape(nmode, 2).T.flatten()
+    if matrix.shape[-1] == 2 * nmode:
+        return matrix[..., idx[:, None], idx]
+    return matrix[..., idx, :]
+
+
+def _omega(nmode):
+    eye = jnp.eye(nmode, dtype=cdtype())
+    return jnp.concatenate([
+        jnp.concatenate([eye, 1j * eye], axis=-1),
+        jnp.concatenate([eye, -1j * eye], axis=-1),
+    ], axis=-2)
+
+
+def quadrature_to_ladder(tensor, symplectic: bool = False):
+    """xxpp -> a a^dagger ordering (reference photonic/qmath.py:234)."""
+    nmode = tensor.shape[-2] // 2
+    tensor = jnp.asarray(tensor).astype(cdtype())
+    omega = _omega(nmode)
+    if tensor.shape[-1] == 2 * nmode:
+        if symplectic:
+            return omega @ tensor @ omega.conj().T / 2
+        return omega @ tensor @ omega.conj().T * config.KAPPA ** 2 / config.HBAR
+    return omega @ tensor * config.KAPPA / config.HBAR ** 0.5
+
+
+def ladder_to_quadrature(tensor, symplectic: bool = False):
+    """a a^dagger ordering -> xxpp (reference photonic/qmath.py:256)."""
+    nmode = tensor.shape[-2] // 2
+    tensor = jnp.asarray(tensor).astype(cdtype())
+    eye = jnp.eye(nmode, dtype=cdtype())
+    omega = jnp.concatenate([
+        jnp.concatenate([eye, eye], axis=-1),
+        jnp.concatenate([-1j * eye, 1j * eye], axis=-1),
+    ], axis=-2)
+    if tensor.shape[-1] == 2 * nmode:
+        if symplectic:
+            return jnp.real(omega @ tensor @ omega.conj().T) / 2
+        return jnp.real(omega @ tensor @ omega.conj().T) * config.HBAR / (4 * config.KAPPA ** 2)
+    return jnp.real(omega @ tensor) * config.HBAR ** 0.5 / (2 * config.KAPPA)
+
+
+@lru_cache(maxsize=None)
+def _subset_masks(n: int, chunk: int):
+    """All 2^n subset masks as a numpy {0,1} matrix, split into chunks."""
+    total = 1 << n
+    idx = np.arange(total, dtype=np.int64)
+    bits = ((idx[:, None] >> np.arange(n)) & 1).astype(np.float64)
+    pad = (-total) % chunk
+    if pad:
+        bits = np.concatenate([bits, np.zeros((pad, n))])
+    return bits.reshape(-1, chunk, n)
+
+
+def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
+    """Permanent via the Ryser formula (reference photonic/qmath.py:75-146).
+
+    perm(A) = (-1)^n sum_{S subseteq [n]} (-1)^{|S|} prod_j (sum_{i in S} A_ij)
+    vectorized: subset masks @ A on the MXU, scanned over chunks.
+    """
+    mat = jnp.asarray(mat, dtype=cdtype())
+    n = mat.shape[-1]
+    if n == 0:
+        return jnp.ones((), dtype=mat.dtype)
+    if n == 1:
+        return mat[0, 0]
+    if n == 2:
+        return mat[0, 0] * mat[1, 1] + mat[0, 1] * mat[1, 0]
+    if n == 3:
+        return (mat[0, 0] * mat[1, 1] * mat[2, 2] + mat[0, 1] * mat[1, 2] * mat[2, 0]
+                + mat[0, 2] * mat[1, 0] * mat[2, 1] + mat[0, 0] * mat[1, 2] * mat[2, 1]
+                + mat[0, 1] * mat[1, 0] * mat[2, 2] + mat[0, 2] * mat[1, 1] * mat[2, 0])
+    chunk = min(chunk_size, 1 << n)
+    masks = _subset_masks(n, chunk)  # (nchunk, chunk, n) numpy
+    def body(acc, mask):
+        mask_c = mask.astype(mat.dtype)
+        rows = mask_c @ mat                                 # (chunk, n)
+        # subsets with |S|=0 give rows=0 -> prod=0: harmless
+        prods = jnp.prod(rows, axis=-1)
+        signs = 1 - 2 * (jnp.sum(mask, axis=-1).astype(jnp.int32) & 1)
+        return acc + jnp.sum(prods * signs), None
+    total, _ = jax.lax.scan(body, jnp.zeros((), mat.dtype), jnp.asarray(masks))
+    sign_n = 1 if n % 2 == 0 else -1
+    return sign_n * total
+
+
+def sub_matrix(u, input_state, output_state):
+    """Repeat rows/cols of u by photon numbers (reference photonic/qmath.py:58).
+
+    Static (host) photon numbers -> static gather indices.
+    """
+    input_state = np.asarray(input_state)
+    output_state = np.asarray(output_state)
+    col_idx = np.repeat(np.arange(len(input_state)), input_state)
+    row_idx = np.repeat(np.arange(len(output_state)), output_state)
+    u = jnp.asarray(u)
+    return u[jnp.ix_(jnp.asarray(row_idx), jnp.asarray(col_idx))]
+
+
+@lru_cache(maxsize=None)
+def fock_combinations(nmode: int, nphoton: int, cutoff: int | None = None) -> list:
+    """All photon-number basis states of nmode modes with nphoton total photons
+    (reference photonic/qmath.py:147); optionally capped per-mode by cutoff."""
+    result = []
+
+    def backtrack(state, remaining, mode):
+        if mode == nmode:
+            if remaining == 0:
+                result.append(list(state))
+            return
+        top = remaining if cutoff is None else min(remaining, cutoff - 1)
+        for k in range(top + 1):
+            state.append(k)
+            backtrack(state, remaining - k, mode + 1)
+            state.pop()
+
+    backtrack([], nphoton, 0)
+    return result
+
+
+def sqrtm_herm(mat):
+    """Square root of a positive-semidefinite hermitian matrix (reference photonic/qmath.py:406)."""
+    w, v = jnp.linalg.eigh(mat)
+    w = jnp.clip(w, 0, None)
+    return (v * jnp.sqrt(w)[..., None, :]) @ jnp.conj(jnp.swapaxes(v, -1, -2))
+
+
+def takagi(a):
+    """Takagi decomposition of a complex symmetric matrix: a = u diag(s) u^T.
+
+    (reference photonic/qmath.py:371) — via the unitary from the SVD with a
+    phase correction.
+    """
+    a = jnp.asarray(a, dtype=cdtype())
+    u, s, vh = jnp.linalg.svd(a)
+    # phase fix: w = u^T conj(v); sqrt of w symmetrizes
+    v = jnp.conj(vh).T
+    w = u.T @ jnp.conj(v)
+    sqrt_w = _sqrtm_unitary_sym(w)
+    uu = u @ jnp.conj(sqrt_w)
+    return s, uu
+
+
+def _sqrtm_unitary_sym(w):
+    """Principal square root of a unitary symmetric matrix via eigendecomposition."""
+    # w unitary symmetric -> diagonalizable; use schur-free eig via jnp.linalg.eig (CPU)
+    # fall back to series on device: use takagi only on host-side setup paths.
+    w_np = np.asarray(jax.device_get(w))
+    vals, vecs = np.linalg.eig(w_np)
+    sq = vecs @ np.diag(np.sqrt(vals.astype(np.complex128))) @ np.linalg.inv(vecs)
+    return jnp.asarray(sq, dtype=w.dtype)
+
+
+def williamson(cov):
+    """Williamson decomposition: cov = S diag(d, d) S^T (reference photonic/qmath.py:437).
+
+    Returns (symplectic S, symplectic eigenvalues d). Host-side linalg.
+    """
+    cov_np = np.asarray(jax.device_get(cov)).astype(np.float64)
+    n = cov_np.shape[-1] // 2
+    # xxpp symplectic form
+    omega = np.block([[np.zeros((n, n)), np.eye(n)], [-np.eye(n), np.zeros((n, n))]])
+    inv_sqrt = np.linalg.inv(_sqrtm_psd_np(cov_np))
+    m = inv_sqrt @ omega @ inv_sqrt
+    # m is antisymmetric: real schur form gives the symplectic eigenvalues
+    from scipy.linalg import schur
+    t, q = schur(m, output='real')
+    # extract 2x2 blocks [[0, x], [-x, 0]]
+    d = np.zeros(n)
+    perm = np.zeros((2 * n, 2 * n))
+    k = 0
+    pos = []
+    for i in range(n):
+        x = t[2 * i, 2 * i + 1]
+        d[k] = 1 / abs(x)
+        pos.append((2 * i, 2 * i + 1) if x > 0 else (2 * i + 1, 2 * i))
+        k += 1
+    # build permutation to xxpp ordering with positive blocks
+    for i, (a, b) in enumerate(pos):
+        perm[a, i] = 1
+        perm[b, i + n] = 1
+    dd = np.concatenate([d, d])
+    s = np.linalg.inv(inv_sqrt) @ q @ perm @ np.diag(1 / np.sqrt(dd))
+    return jnp.asarray(s, dtype=rdtype()), jnp.asarray(d, dtype=rdtype())
+
+
+def _sqrtm_psd_np(mat):
+    w, v = np.linalg.eigh(mat)
+    w = np.clip(w, 0, None)
+    return (v * np.sqrt(w)[None, :]) @ v.T
+
+
+def photon_number_mean_var(cov, mean):
+    """Mean and variance of photon number per mode from cov/mean in xxpp
+    (reference photonic/qmath.py:276)."""
+    cov = jnp.asarray(cov)
+    mean = jnp.asarray(mean)
+    nmode = cov.shape[-1] // 2
+    hbar, kappa = config.HBAR, config.KAPPA
+    coef = kappa ** 2 / hbar
+    exp = []
+    var = []
+    for i in range(nmode):
+        idx = jnp.array([i, i + nmode])
+        cov_i = cov[..., idx[:, None], idx]
+        mean_i = mean[..., idx, :]
+        exp_i = coef * (jnp.trace(cov_i, axis1=-2, axis2=-1)
+                        + jnp.sum(mean_i.squeeze(-1) ** 2, axis=-1)) - 0.5
+        var_i = (coef ** 2 * (jnp.trace(cov_i @ cov_i, axis1=-2, axis2=-1)
+                              + 2 * (jnp.swapaxes(mean_i, -1, -2) @ cov_i @ mean_i).squeeze((-1, -2))) * 2
+                 - 0.25)
+        exp.append(exp_i)
+        var.append(var_i)
+    return jnp.stack(exp, -1), jnp.stack(var, -1)

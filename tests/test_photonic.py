@@ -1,0 +1,227 @@
+"""Photonic backends vs the reference oracle (tier-2) and self-consistency (tier-1)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import deepquantum_tpu as dq
+from deepquantum_tpu.photonic import QumodeCircuit
+from deepquantum_tpu.photonic.hafnian_ import hafnian
+from deepquantum_tpu.photonic.torontonian_ import torontonian
+from deepquantum_tpu.photonic.qmath import permanent
+
+torch = pytest.importorskip('torch')
+import deepquantum.photonic as ref_dqp  # noqa: E402
+import deepquantum as ref_dq  # noqa: E402
+
+
+def test_fock_gate_matrices_vs_reference():
+    """BS / Squeezing / Displacement / S2 Fock recurrences match the reference."""
+    cutoff = 6
+    # BeamSplitter
+    ref_bs = ref_dqp.BeamSplitter(inputs=[0.7, 0.3], cutoff=cutoff)
+    ref_mat = ref_bs.update_matrix_state().detach().numpy()
+    from deepquantum_tpu.photonic.gates import bs_fock, squeeze_fock, disp_fock, squeeze2_fock
+    ours = np.asarray(bs_fock(jnp.array([0.7, 0.3]), cutoff))
+    np.testing.assert_allclose(ours, ref_mat, atol=1e-6)
+    # Squeezing
+    ref_s = ref_dqp.Squeezing(inputs=[0.5, 0.4], cutoff=cutoff)
+    np.testing.assert_allclose(np.asarray(squeeze_fock(jnp.array([0.5, 0.4]), cutoff)),
+                               ref_s.update_matrix_state().detach().numpy(), atol=1e-6)
+    # Displacement
+    ref_d = ref_dqp.Displacement(inputs=[0.6, 1.1], cutoff=cutoff)
+    np.testing.assert_allclose(np.asarray(disp_fock(jnp.array([0.6, 1.1]), cutoff)),
+                               ref_d.update_matrix_state().detach().numpy(), atol=1e-6)
+    # Squeezing2
+    ref_s2 = ref_dqp.Squeezing2(inputs=[0.4, 0.2], cutoff=cutoff)
+    np.testing.assert_allclose(np.asarray(squeeze2_fock(jnp.array([0.4, 0.2]), cutoff)),
+                               ref_s2.update_matrix_state().detach().numpy(), atol=1e-6)
+
+
+def test_permanent_vs_reference():
+    from deepquantum.photonic.qmath import permanent as ref_perm
+    rng = np.random.default_rng(1)
+    for n in (4, 6, 8):
+        m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        ours = complex(np.asarray(permanent(jnp.asarray(m))))
+        theirs = complex(ref_perm(torch.tensor(m)))
+        assert abs(ours - theirs) / abs(theirs) < 1e-8
+
+
+def test_hafnian_torontonian_vs_reference():
+    from deepquantum.photonic.hafnian_ import hafnian as ref_haf
+    from deepquantum.photonic.torontonian_ import torontonian as ref_tor
+    rng = np.random.default_rng(2)
+    for n in (4, 6):
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        a = a + a.T
+        ours = complex(np.asarray(hafnian(jnp.asarray(a))))
+        theirs = complex(ref_haf(torch.tensor(a)))
+        assert abs(ours - theirs) / abs(theirs) < 1e-6
+        ours_l = complex(np.asarray(hafnian(jnp.asarray(a), loop=True)))
+        theirs_l = complex(ref_haf(torch.tensor(a), loop=True))
+        assert abs(ours_l - theirs_l) / abs(theirs_l) < 1e-6
+    # torontonian needs an O-matrix-like input: build from a random gaussian cov
+    m = rng.standard_normal((4, 4)) * 0.1
+    o = (m + m.T) / 2
+    o = o @ o.T * 0.1
+    oc = np.eye(4) - np.linalg.inv(np.eye(4) + o)
+    ours = complex(np.asarray(torontonian(jnp.asarray(oc, dtype=complex))))
+    theirs = complex(ref_tor(torch.tensor(oc, dtype=torch.complex128)))
+    assert abs(ours - theirs) < 1e-8
+
+
+def _build_interferometer(cir):
+    cir.ps(0, inputs=0.3)
+    cir.bs([0, 1], inputs=[0.4, 0.5])
+    cir.mzi([1, 2], inputs=[0.6, 0.7])
+    cir.bs_rx([0, 2], inputs=[0.8])
+    cir.ps(2, inputs=0.9)
+
+
+def test_fock_basis_amplitudes_vs_reference():
+    ours = QumodeCircuit(nmode=3, init_state=[1, 1, 0], cutoff=3, backend='fock', basis=True)
+    theirs = ref_dq.QumodeCircuit(nmode=3, init_state=[1, 1, 0], cutoff=3, backend='fock', basis=True)
+    _build_interferometer(ours)
+    _build_interferometer(theirs)
+    theirs.to(torch.complex128)
+
+    u_ours = np.asarray(ours.get_unitary())
+    u_theirs = theirs.get_unitary().detach().numpy()
+    np.testing.assert_allclose(u_ours, u_theirs, atol=1e-6)
+
+    res_ours = ours(is_prob=False)
+    res_theirs = theirs(is_prob=False)
+    for fs, amp in res_theirs.items():
+        key = tuple(fs.state.tolist())
+        match = [v for k, v in res_ours.items() if tuple(k.state.tolist()) == key]
+        assert match, f'missing state {key}'
+        np.testing.assert_allclose(complex(np.asarray(match[0])),
+                                   complex(amp.detach().numpy().squeeze()), atol=1e-6)
+
+
+def test_fock_tensor_vs_basis():
+    """Tensor mode amplitudes equal basis mode amplitudes (tier-1)."""
+    basis_cir = QumodeCircuit(nmode=2, init_state=[1, 1], cutoff=4, backend='fock', basis=True)
+    tensor_cir = QumodeCircuit(nmode=2, init_state=[1, 1], cutoff=4, backend='fock', basis=False)
+    for cir in (basis_cir, tensor_cir):
+        cir.bs([0, 1], inputs=[0.5, 0.2])
+        cir.ps(0, inputs=0.4)
+    amps = basis_cir(is_prob=False)
+    tensor = np.asarray(tensor_cir())
+    for fs, amp in amps.items():
+        idx = tuple(int(i) for i in fs.state)
+        np.testing.assert_allclose(complex(np.asarray(amp)), complex(tensor[idx]), atol=1e-6)
+
+
+def test_gaussian_forward_vs_reference():
+    def build(c):
+        c.s(0, r=0.5, theta=0.3)
+        c.s(1, r=0.2, theta=0.7)
+        c.d(0, r=0.4, theta=0.1)
+        c.bs([0, 1], inputs=[0.5, 0.6])
+        c.s2([1, 2], r=0.3, theta=0.2)
+        c.r(2, inputs=0.8)
+        c.qp(0, inputs=0.5)
+        c.cx([0, 1], inputs=0.3)
+        c.cz([1, 2], inputs=0.4)
+        c.x(2, inputs=0.6)
+        c.z(0, inputs=0.7)
+    ours = QumodeCircuit(nmode=3, init_state='vac', cutoff=4, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=3, init_state='vac', cutoff=4, backend='gaussian')
+    build(ours)
+    build(theirs)
+    theirs.to(torch.double)
+    cov_o, mean_o = ours()
+    cov_t, mean_t = theirs()
+    np.testing.assert_allclose(np.asarray(cov_o).squeeze(), cov_t.detach().numpy().squeeze(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean_o).squeeze(), mean_t.detach().numpy().squeeze(), atol=1e-5)
+
+
+def test_gaussian_probs_vs_reference():
+    def build(c):
+        c.s(0, r=0.4)
+        c.s(1, r=0.3)
+        c.bs([0, 1], inputs=[0.6, 0.2])
+    ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    build(ours)
+    build(theirs)
+    theirs.to(torch.double)
+    probs_ours = ours(is_prob=True)
+    probs_theirs = theirs(is_prob=True)
+    for fs, p in probs_theirs.items():
+        key = tuple(fs.state.tolist())
+        match = [v for k, v in probs_ours.items() if tuple(k.state.tolist()) == key]
+        assert match, f'missing state {key}'
+        np.testing.assert_allclose(float(np.asarray(match[0])),
+                                   float(p.detach().numpy().squeeze()), atol=1e-6)
+
+
+def test_gaussian_displaced_probs_vs_reference():
+    """loop-hafnian path (displaced states)."""
+    def build(c):
+        c.s(0, r=0.3)
+        c.d(0, r=0.5, theta=0.2)
+        c.bs([0, 1], inputs=[0.7, 0.1])
+    ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    build(ours)
+    build(theirs)
+    theirs.to(torch.double)
+    probs_ours = ours(is_prob=True)
+    probs_theirs = theirs(is_prob=True)
+    for fs, p in probs_theirs.items():
+        key = tuple(fs.state.tolist())
+        match = [v for k, v in probs_ours.items() if tuple(k.state.tolist()) == key]
+        np.testing.assert_allclose(float(np.asarray(match[0])),
+                                   float(p.detach().numpy().squeeze()), atol=1e-6)
+
+
+def test_threshold_detector_vs_reference():
+    def build(c):
+        c.s(0, r=0.5)
+        c.s(1, r=0.4)
+        c.bs([0, 1], inputs=[0.3, 0.9])
+    ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian', detector='threshold')
+    theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian', detector='threshold')
+    build(ours)
+    build(theirs)
+    theirs.to(torch.double)
+    probs_ours = ours(is_prob=True)
+    probs_theirs = theirs(is_prob=True)
+    for fs, p in probs_theirs.items():
+        key = tuple(fs.state.tolist())
+        match = [v for k, v in probs_ours.items() if tuple(k.state.tolist()) == key]
+        np.testing.assert_allclose(float(np.asarray(match[0])),
+                                   float(p.detach().numpy().squeeze()), atol=1e-6)
+
+
+def test_fock_measure():
+    cir = QumodeCircuit(nmode=2, init_state=[1, 0], cutoff=3, backend='fock', basis=True)
+    cir.bs([0, 1], inputs=[np.pi / 4, 0.0])
+    cir(is_prob=True)
+    res = cir.measure(shots=1000)
+    keys = {tuple(k.state.tolist()) for k in res}
+    assert keys <= {(1, 0), (0, 1)}
+    assert sum(res.values()) == 1000
+
+
+def test_photon_number_mean_var_vs_reference():
+    def build(c):
+        c.s(0, r=0.4)
+        c.s(1, r=0.3)
+        c.bs([0, 1], inputs=[0.6, 0.2])
+        c.d(0, r=0.2, theta=0.5)
+    ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    build(ours)
+    build(theirs)
+    theirs.to(torch.double)
+    ours()
+    theirs()
+    exp_o, var_o = ours.photon_number_mean_var()
+    exp_t, var_t = theirs.photon_number_mean_var()
+    np.testing.assert_allclose(np.asarray(exp_o).reshape(-1), exp_t.detach().numpy().reshape(-1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_o).reshape(-1), var_t.detach().numpy().reshape(-1), atol=1e-5)
