@@ -297,15 +297,18 @@ class QubitCircuit:
             self.observables.append(op)
             return
         assert isinstance(op, GateOp)
+        if op.npara > 0 and not op.pidx:
+            # assign the slice on the ORIGINAL descriptor so re-adding the
+            # same op shares parameters (torch shared-module semantics,
+            # reference circuit.py:830 'parameters of gates are shared')
+            values = op.extra.get('inputs')
+            if values is None:
+                values = [float(np.random.rand() * 2 * np.pi) for _ in range(op.npara)]
+            op.pidx = self._new_params(np.asarray(values).reshape(-1), encode, op.requires_grad)
         g = _copy.copy(op)
         if wires is not None:
             g.wires = tuple(_flat_wires(wires))
             g.controls = tuple(_flat_wires(controls)) if controls is not None else ()
-        if g.npara > 0 and not g.pidx:
-            values = g.extra.get('inputs')
-            if values is None:
-                values = [float(np.random.rand() * 2 * np.pi) for _ in range(g.npara)]
-            g.pidx = self._new_params(np.asarray(values).reshape(-1), encode, g.requires_grad)
         self.operators.append(g)
         for i in g.wires + g.controls:
             self.depth[i] += 1
