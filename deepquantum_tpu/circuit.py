@@ -975,6 +975,60 @@ class QubitCircuit:
         self._version += 1
         self._cache.clear()
 
+    def pattern(self):
+        """Transpile the circuit to an MBQC pattern (reference circuit.py:653).
+
+        Each supported gate expands to its command template; a wire->node map
+        tracks the logical wire as measurements consume nodes.
+        """
+        assert not self.den_mat and not self.mps, 'Currently NOT supported'
+        from .mbqc import Pattern
+        from .mbqc.templates import MBQC_TEMPLATES
+
+        wire2node = {i: i for i in range(self.nqubit)}
+        init = np.asarray(self.init_state.state).reshape(-1)
+        zeros = np.zeros_like(init)
+        zeros[0] = 1
+        if np.allclose(init, zeros):
+            pattern = Pattern()
+            for i in range(self.nqubit):
+                pattern.add_graph(nodes_state=[i], state='zero')
+        else:
+            pattern = Pattern(nodes_state=self.nqubit, state=init)
+        pattern.reupload = self.reupload
+        node_next = self.nqubit
+        for op in self.operators:
+            if op.kind == 'barrier':
+                continue
+            assert op.kind == 'gate', f'{op.name} is NOT supported for MBQC pattern transpiler'
+            assert not op.controls, 'Control bits are NOT supported for MBQC pattern transpiler'
+            assert not op.condition, 'Conditional mode is NOT supported for MBQC pattern transpiler'
+            entry = MBQC_TEMPLATES.get(op.name)
+            assert entry is not None, f'{op.name} is NOT supported for MBQC pattern transpiler'
+            template, nanc = entry
+            nodes = [wire2node[w] for w in op.wires]
+            ancilla = [node_next + i for i in range(nanc)]
+            angle = self._pvals[op.pidx[0]] if op.npara else None
+            if op.inv and angle is not None:
+                angle = -angle
+            encode = op in self.encoders
+            cmds, out_nodes, enc_idx = template(nodes if len(nodes) > 1 else nodes[0],
+                                                ancilla, angle, op.requires_grad)
+            base = len(pattern.commands)
+            pattern.commands.extend(cmds)
+            if encode:
+                for i in enc_idx:
+                    pattern.encoders.append(pattern.commands[base + i])
+                pattern.npara += nanc - len(enc_idx)
+                pattern.ndata += len(enc_idx)
+            else:
+                pattern.npara += nanc
+            node_next += nanc
+            for wire, node in zip(op.wires, out_nodes):
+                wire2node[wire] = node
+        pattern.set_nodes_out_seq([wire2node[i] for i in range(self.nqubit)])
+        return pattern
+
     def qasm(self) -> str:
         from .qasm import cir_to_qasm2
         return cir_to_qasm2(self)

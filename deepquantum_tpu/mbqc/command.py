@@ -1,0 +1,197 @@
+"""MBQC commands (reference src/deepquantum/mbqc/command.py).
+
+Node / Entanglement are pure graph bookkeeping; Measurement lazily
+materializes the owning subgraph, applies the adaptive-angle J projector via
+a jitted QubitCircuit and one-shot sampling, then collapses the subgraph;
+Correction applies conditional X/Z byproducts.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..circuit import QubitCircuit
+from ..ops.qmath import slice_state_vector
+from ..utils.compat import to_numpy
+from .state import GraphState
+
+__all__ = ['Command', 'Node', 'Entanglement', 'Measurement', 'Correction']
+
+
+class Command:
+    """Base MBQC command (reference mbqc/operation.py)."""
+
+    def __init__(self, name: str, nodes) -> None:
+        self.name = name
+        if isinstance(nodes, int):
+            nodes = [nodes]
+        self.nodes = list(nodes)
+        self.npara = 0
+        self.requires_grad = False
+
+    def __call__(self, x: GraphState) -> GraphState:
+        return self.forward(x)
+
+    def forward(self, x: GraphState) -> GraphState:
+        return x
+
+    def __repr__(self):
+        return f'{self.name}(nodes={self.nodes})'
+
+
+class Node(Command):
+    """Add |+> node(s) (reference mbqc/command.py:14)."""
+
+    def __init__(self, nodes) -> None:
+        super().__init__('Node', nodes)
+
+    def forward(self, x: GraphState) -> GraphState:
+        existing = set(x.graph.nodes)
+        for node in self.nodes:
+            assert node not in existing, f'Node {node} already exists'
+            x.add_subgraph(nodes=node)
+        return x
+
+
+class Entanglement(Command):
+    """Mark a CZ edge, merging subgraphs when needed (reference mbqc/command.py:34)."""
+
+    def __init__(self, node1: int, node2: int) -> None:
+        super().__init__('Entanglement', [node1, node2])
+
+    def forward(self, x: GraphState) -> GraphState:
+        idx1 = idx2 = None
+        for i, sgs in enumerate(x.subgraphs):
+            if self.nodes[0] in sgs.graph:
+                idx1 = i
+            if self.nodes[1] in sgs.graph:
+                idx2 = i
+        assert idx1 is not None and idx2 is not None, f'Nodes {self.nodes} not found'
+        if idx1 == idx2:
+            x.subgraphs[idx1].add_edges([(self.nodes[0], self.nodes[1])])
+        else:
+            subgraph = x.subgraphs[idx1].compose(x.subgraphs[idx2])
+            subgraph.add_edges([(self.nodes[0], self.nodes[1])])
+            for i in sorted([idx1, idx2], reverse=True):
+                x.subgraphs.pop(i)
+            x.subgraphs.insert(0, subgraph)
+        return x
+
+
+class Measurement(Command):
+    """Adaptive projective measurement (reference mbqc/command.py:69)."""
+
+    def __init__(self, nodes, angle: Any = 0.0, plane: str = 'xy',
+                 s_domain=None, t_domain=None, requires_grad: bool = False) -> None:
+        super().__init__('Measurement', nodes)
+        self.plane = plane.lower()
+        if s_domain is None:
+            s_domain = []
+        elif isinstance(s_domain, int):
+            s_domain = [s_domain]
+        if t_domain is None:
+            t_domain = []
+        elif isinstance(t_domain, int):
+            t_domain = [t_domain]
+        self.s_domain = set(s_domain)
+        self.t_domain = set(t_domain)
+        self.requires_grad = requires_grad
+        self.enc_sign = 1.0  # sign applied to encoded data (e.g. -1 for Rx/Ry/Rz templates)
+        self.init_para(angle)
+        self.npara = 1
+
+    def init_para(self, angle: Any = None) -> None:
+        while isinstance(angle, (list, tuple)):
+            angle = angle[0]
+        if angle is None:
+            angle = float(np.random.rand() * 2 * np.pi)
+        angle = float(np.asarray(to_numpy(angle)).reshape(-1)[0]) \
+            if not isinstance(angle, (int, float)) else float(angle)
+        self.angle = getattr(self, 'enc_sign', 1.0) * angle
+
+    def forward(self, x: GraphState) -> GraphState:
+        idx = None
+        for i, sgs in enumerate(x.subgraphs):
+            if self.nodes[0] in sgs.graph:
+                idx = i
+                break
+        assert idx is not None, f'Node {self.nodes[0]} not found'
+        sgs = x.subgraphs[idx]
+        nqubit = len(sgs.nodes)
+        init_state = np.asarray(to_numpy(sgs.full_state)).reshape(-1)
+        wire = sgs.node2wire_dict[self.nodes[0]]
+        qs = sum(sgs.measure_dict[s][-1] if sgs.measure_dict[s] else 0 for s in self.s_domain)
+        qt = sum(sgs.measure_dict[t][-1] if sgs.measure_dict[t] else 0 for t in self.t_domain)
+        angle = self.angle
+        if self.plane in ('xy', 'yx'):
+            alpha = (-1) ** qs * angle + np.pi * qt
+        elif self.plane in ('zx', 'xz'):
+            alpha = (-1) ** (qs + qt) * angle + np.pi * qs
+        elif self.plane in ('yz', 'zy'):
+            alpha = (-1) ** qt * angle + np.pi * (qs + qt)
+        else:
+            raise ValueError(f'Unsupported plane {self.plane}')
+        cir = QubitCircuit(nqubit=nqubit)
+        cir.j(wires=wire, plane=self.plane, encode=True)
+        import jax.numpy as jnp
+        final_state = cir(data=jnp.array([alpha]), state=init_state)
+        rst = cir.measure(shots=1, wires=wire)
+        bit = next(iter(rst))
+        state = slice_state_vector(jnp.asarray(final_state).reshape(1, -1), nqubit, [wire], bit)[0]
+        sgs.measure_dict[self.nodes[0]].append(int(bit))
+        nodes_state = sorted(sgs.nodes)
+        nodes_state.remove(self.nodes[0])
+        x.subgraphs.pop(idx)
+        x.add_subgraph(nodes_state=nodes_state, state=np.asarray(to_numpy(state)),
+                       measure_dict=sgs.measure_dict, index=0)
+        return x
+
+    def __repr__(self):
+        return (f'Measurement(nodes={self.nodes}, plane={self.plane.upper()}, '
+                f'angle={self.angle}, s_domain={self.s_domain}, t_domain={self.t_domain})')
+
+
+class Correction(Command):
+    """Conditional X/Z byproduct (reference mbqc/command.py:190)."""
+
+    def __init__(self, nodes, basis: str = 'x', domain=None) -> None:
+        super().__init__('Correction', nodes)
+        self.basis = basis.lower()
+        if domain is None:
+            domain = []
+        elif isinstance(domain, int):
+            domain = [domain]
+        self.domain = set(domain)
+
+    def forward(self, x: GraphState) -> GraphState:
+        idx = None
+        for i, sgs in enumerate(x.subgraphs):
+            if self.nodes[0] in sgs.graph:
+                idx = i
+                break
+        assert idx is not None, f'Node {self.nodes[0]} not found'
+        sgs = x.subgraphs[idx]
+        nqubit = len(sgs.nodes)
+        init_state = np.asarray(to_numpy(sgs.full_state)).reshape(-1)
+        wire = sgs.node2wire_dict[self.nodes[0]]
+        qs = sum(sgs.measure_dict[s][-1] if sgs.measure_dict[s] else 0 for s in self.domain)
+        theta = np.pi * qs
+        cir = QubitCircuit(nqubit=nqubit)
+        if self.basis == 'x':
+            cir.rx(wires=wire, encode=True)   # global phase irrelevant
+        elif self.basis == 'z':
+            cir.rz(wires=wire, encode=True)
+        else:
+            raise ValueError(f'Invalid basis {self.basis}')
+        import jax.numpy as jnp
+        state = cir(data=jnp.array([theta]), state=init_state)
+        nodes_state = sorted(sgs.nodes)
+        x.subgraphs.pop(idx)
+        x.add_subgraph(nodes_state=nodes_state, state=np.asarray(to_numpy(state)).reshape(-1),
+                       measure_dict=sgs.measure_dict, index=0)
+        return x
+
+    def __repr__(self):
+        return f'Correction(nodes={self.nodes}, basis={self.basis}, domain={self.domain})'

@@ -1,0 +1,192 @@
+"""MBQC graph states (reference src/deepquantum/mbqc/state.py).
+
+SubGraphState = networkx graph + input-state array; materializing the full
+state runs the CZ edges through a jitted QubitCircuit. Host-driven control
+flow with jitted inner steps (measurement collapse changes graph structure
+dynamically, which cannot trace).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any
+
+import networkx as nx
+import numpy as np
+
+from ..circuit import QubitCircuit
+from ..config import cdtype
+from ..ops.qmath import inverse_permutation, multi_kron
+from ..state import QubitState
+from ..utils.compat import to_numpy
+
+__all__ = ['SubGraphState', 'GraphState']
+
+
+class SubGraphState:
+    """A subgraph state: graph + input state on nodes_state (reference mbqc/state.py:17)."""
+
+    def __init__(self, nodes_state=None, state: Any = 'plus', edges=None, nodes=None) -> None:
+        self.nodes_out_seq = None
+        self.set_graph(nodes_state, edges, nodes)
+        self.set_state(state)
+        self.measure_dict = defaultdict(list)
+
+    @property
+    def nodes(self):
+        return self.graph.nodes
+
+    @property
+    def edges(self):
+        return self.graph.edges
+
+    @property
+    def full_state(self):
+        """Materialize: kron |+> for background nodes, run CZ edges (reference mbqc/state.py:65)."""
+        nqubit = len(self.nodes)
+        nodes_bg = [n for n in self.nodes if n not in self.nodes_state]
+        nodes = self.nodes_state + nodes_bg
+        wires = [0] + [self.node2wire_dict[node] + 1 for node in nodes]
+        plus = np.array([[1], [1]], dtype=cdtype()) / 2 ** 0.5
+        state = np.asarray(to_numpy(self.state)).reshape(-1, 1) if not isinstance(self.state, np.ndarray) else self.state.reshape(-1, 1)
+        init = multi_kron([np.asarray(state)] + [plus] * len(nodes_bg))
+        init = np.asarray(init).reshape([-1] + [2] * nqubit)
+        init = np.transpose(init, inverse_permutation(wires)).reshape(-1, 2 ** nqubit)
+        cir = QubitCircuit(nqubit=nqubit, init_state=init[0] if init.shape[0] == 1 else init)
+        for a, b, data in self.graph.edges(data=True):
+            if data.get('cz'):
+                cir.cz(self.node2wire_dict[a], self.node2wire_dict[b])
+        return cir()
+
+    def set_graph(self, nodes_state=None, edges=None, nodes=None) -> None:
+        if nodes_state is None:
+            nodes_state = []
+        elif isinstance(nodes_state, int):
+            nodes_state = list(range(nodes_state))
+        edges = edges or []
+        if nodes is None:
+            nodes = []
+        elif isinstance(nodes, int):
+            nodes = [nodes]
+        graph = nx.Graph()
+        if len(nodes_state) > 1:
+            nx.add_cycle(graph, nodes_state, cz=False)
+        else:
+            graph.add_nodes_from(nodes_state)
+        graph.add_edges_from(edges, cz=True)
+        graph.add_nodes_from(nodes)
+        self.graph = graph
+        self.nodes_state = list(nodes_state)
+        self.update_node2wire_dict()
+
+    def set_state(self, state: Any = 'plus') -> None:
+        nqubit = len(self.nodes_state)
+        if isinstance(state, str):
+            base = {
+                'plus': np.array([1, 1], dtype=cdtype()) / 2 ** 0.5,
+                'minus': np.array([1, -1], dtype=cdtype()) / 2 ** 0.5,
+                'zero': np.array([1, 0], dtype=cdtype()),
+                'one': np.array([0, 1], dtype=cdtype()),
+            }[state]
+            state = multi_kron([base] * nqubit) if nqubit > 0 else np.ones((), cdtype())
+            self.state = np.asarray(state)
+            return
+        if nqubit > 0:
+            if isinstance(state, np.ndarray) or not hasattr(state, 'devices'):
+                self.state = QubitState(nqubit, np.asarray(state)).state
+            else:
+                self.state = state  # device array: keep as-is
+        else:
+            self.state = np.ones((), cdtype())
+
+    def set_nodes_out_seq(self, nodes=None) -> None:
+        if nodes is not None:
+            assert len(nodes) == len(self.nodes)
+            assert set(nodes) == set(self.nodes)
+        self.nodes_out_seq = nodes
+        self.update_node2wire_dict()
+
+    def add_nodes(self, nodes) -> None:
+        if isinstance(nodes, int):
+            nodes = [nodes]
+        self.graph.add_nodes_from(nodes)
+        self.update_node2wire_dict()
+
+    def add_edges(self, edges) -> None:
+        self.graph.add_edges_from(edges, cz=True)
+        self.update_node2wire_dict()
+
+    def shift_labels(self, n: int) -> None:
+        self.graph = nx.relabel_nodes(self.graph, lambda x: x + n)
+        self.nodes_state = [s + n for s in self.nodes_state]
+        self.measure_dict = defaultdict(list, {k + n: v for k, v in self.measure_dict.items()})
+        self.update_node2wire_dict()
+
+    def compose(self, other: 'SubGraphState', relabel: bool = True) -> 'SubGraphState':
+        if relabel and (set(self.nodes) & set(other.nodes)):
+            shift = max(self.nodes) - min(other.nodes) + 1
+            other.shift_labels(shift)
+        graph = nx.compose(self.graph, other.graph)
+        for i in other.nodes_state:
+            assert i not in self.nodes_state, 'Do NOT use repeated nodes for states'
+        nodes_state = self.nodes_state + other.nodes_state
+        s1 = np.asarray(to_numpy(self.state))
+        s2 = np.asarray(to_numpy(other.state))
+        state = np.kron(s1.reshape(-1, 1), s2.reshape(-1, 1))
+        sgs = SubGraphState(nodes_state, state, list(graph.edges(data=True)), list(graph.nodes))
+        sgs.measure_dict = defaultdict(list)
+        sgs.measure_dict.update(self.measure_dict)
+        sgs.measure_dict.update(other.measure_dict)
+        return sgs
+
+    def update_node2wire_dict(self) -> dict:
+        if self.nodes_out_seq is None:
+            nodes = list(self.nodes)
+            wires = inverse_permutation(np.argsort(nodes).tolist())
+            self.node2wire_dict = dict(zip(nodes, wires))
+        else:
+            self.node2wire_dict = {node: i for i, node in enumerate(self.nodes_out_seq)}
+        return self.node2wire_dict
+
+    def draw(self, **kwargs):
+        nx.draw(self.graph, with_labels=True, **kwargs)
+
+    def __repr__(self):
+        return f'SubGraphState(nodes_state={self.nodes_state}, nodes={list(self.nodes)})'
+
+
+class GraphState:
+    """Graph state = list of SubGraphStates (reference mbqc/state.py:210)."""
+
+    def __init__(self, nodes_state=None, state: Any = 'plus', edges=None, nodes=None) -> None:
+        self.subgraphs = [SubGraphState(nodes_state, state, edges, nodes)]
+        self.nodes_out_seq = None
+
+    def add_subgraph(self, nodes_state=None, state='plus', edges=None, nodes=None,
+                     measure_dict=None, index=None) -> None:
+        sgs = SubGraphState(nodes_state, state, edges, nodes)
+        if measure_dict is not None:
+            sgs.measure_dict = measure_dict
+        if index is None:
+            self.subgraphs.append(sgs)
+        else:
+            self.subgraphs.insert(index, sgs)
+
+    @property
+    def graph(self) -> SubGraphState:
+        graph = None
+        for sg in self.subgraphs:
+            graph = sg if graph is None else graph.compose(sg, relabel=True)
+        graph.set_nodes_out_seq(self.nodes_out_seq)
+        return graph
+
+    @property
+    def full_state(self):
+        return self.graph.full_state
+
+    @property
+    def measure_dict(self) -> dict:
+        return self.graph.measure_dict
+
+    def set_nodes_out_seq(self, nodes=None) -> None:
+        self.nodes_out_seq = nodes
