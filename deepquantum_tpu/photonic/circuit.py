@@ -132,6 +132,7 @@ class QumodeCircuit:
         self._basis_table = None   # list of FockState int tuples for basis mode output
         self._version = 0
         self._cache: dict = {}
+        self.measurements: list = []
         self.wires_homodyne: list = []
         if cutoff is None:
             cutoff = 2 if backend == 'fock' else 5
@@ -445,6 +446,14 @@ class QumodeCircuit:
         shape = [c] * (2 * n) if self.den_mat else [c] * n
         x = x.reshape(shape)
         for op in self.operators:
+            if op.kind == 'loss':
+                assert self.den_mat, 'PhotonLoss on Fock tensors requires den_mat=True'
+                from .channel import loss_kraus
+                kraus = loss_kraus(op.params(full), c)
+                def apply_k(kmat, _x=x, _w=list(op.wires)):
+                    return evolve_den_mat(_x, kmat, n, _w, qudit=c)
+                x = jax.vmap(apply_k)(kraus).sum(0)
+                continue
             if op.kind != 'gate':
                 continue
             k = len(op.wires)
@@ -503,8 +512,19 @@ class QumodeCircuit:
         return self.state
 
     def _run_cv(self, full, cov, mean):
-        """Fold the affine symplectic ops over (cov, mean); batched leading dims ok."""
+        """Fold the affine symplectic (and loss X/Y) ops over (cov, mean)."""
+        from .channel import loss_xy
+        n = self.nmode
         for op in self.operators:
+            if op.kind == 'loss':
+                x_loc, y_loc = loss_xy(op.params(full))
+                wires = list(op.wires) + [w + n for w in op.wires]
+                ix = np.ix_(wires, wires)
+                x_full = jnp.eye(2 * n, dtype=cov.dtype).at[ix].set(x_loc.astype(cov.dtype))
+                y_full = jnp.zeros((2 * n, 2 * n), cov.dtype).at[ix].set(y_loc.astype(cov.dtype))
+                cov = x_full @ cov @ x_full.T + y_full
+                mean = x_full.astype(mean.dtype) @ mean
+                continue
             if op.kind != 'gate':
                 continue
             s, d = self._global_xp(op, full)
@@ -690,7 +710,11 @@ class QumodeCircuit:
                     xp_fn=None, npara=0, extra=extra)
 
     def clements(self, unitary, wires=None, minmax=None, mu=None, sigma=None):
-        """Decompose a unitary into an MZI mesh and add it (reference circuit.py:2262)."""
+        """Decompose a unitary into an MZI mesh and add it (reference circuit.py:2262).
+
+        Equivalent to ``any`` with the 'cssr' Clements decomposition; MZIs are
+        placed in the physical interleaved-column order.
+        """
         from .decompose import UnitaryDecomposer
         if wires is None:
             if minmax is None:
@@ -698,15 +722,31 @@ class QumodeCircuit:
             wires = list(range(minmax[0], minmax[1] + 1))
         wires = sorted([wires] if isinstance(wires, int) else list(wires))
         unitary = np.asarray(unitary, dtype=np.complex128)
-        ud = UnitaryDecomposer(unitary)
-        mzi_info = ud.decomp()[1]
-        phase_angle = mzi_info['phase_angle']
-        assert len(phase_angle) == len(wires)
-        dic_mzi = sorted(mzi_info['MZI_list'], key=lambda x: (x[0], x[1]))
-        for idx1, idx2, phi, theta in dic_mzi:
-            self.mzi([wires[int(idx1)], wires[int(idx2)]], inputs=[theta, phi])
-        for wire, angle in zip(wires, phase_angle):
-            self.ps(wire, inputs=angle)
+        ud = UnitaryDecomposer(unitary, 'cssr')
+        mzi_info = ud.decomp()
+        dic_mzi = mzi_info[1]
+        phase_angle = mzi_info[0]['phase_angle']
+        assert len(phase_angle) == len(wires), 'Please check wires'
+        wires1 = wires[1::2]
+        wires2 = wires[2::2]
+        shift = wires[0]
+        for i in range(len(wires)):
+            if i % 2 == 0:
+                idx = i // 2
+                for w in wires1:
+                    pair = dic_mzi[(w - 1 - shift, w - shift)]
+                    if idx < len(pair):
+                        phi, theta = pair[idx]
+                        self.mzi(wires=[w - 1, w], inputs=[theta, phi])
+            else:
+                idx = (i - 1) // 2
+                for w in wires2:
+                    pair = dic_mzi[(w - 1 - shift, w - shift)]
+                    if idx < len(pair):
+                        phi, theta = pair[idx]
+                        self.mzi(wires=[w - 1, w], inputs=[theta, phi])
+        for wire in wires:
+            self.ps(wires=wire, inputs=phase_angle[wire - shift])
 
     def s(self, wires, r=None, theta=None, encode=False, mu=None, sigma=None):
         inputs = self._rt_inputs(r, theta)
@@ -764,6 +804,102 @@ class QumodeCircuit:
 
     def ck(self, wires, inputs=None, encode=False, mu=None, sigma=None):
         self.add_op('CrossKerr', wires, inputs, encode)
+
+    def homodyne(self, wires, phi: float = 0.0, eps: float = 2e-4, mu=None, sigma=None):
+        """Add a conditional homodyne measurement (reference circuit.py:2730)."""
+        from .measurement import Homodyne
+        m = Homodyne(phi=phi, nmode=self.nmode, wires=wires, cutoff=self.cutoff,
+                     den_mat=self.den_mat, eps=eps)
+        self.measurements.append(m)
+        self.wires_homodyne.append(m.wires[0])
+
+    def homodyne_x(self, wires, eps: float = 2e-4, mu=None, sigma=None):
+        self.homodyne(wires, phi=0.0, eps=eps)
+
+    def homodyne_p(self, wires, eps: float = 2e-4, mu=None, sigma=None):
+        self.homodyne(wires, phi=np.pi / 2, eps=eps)
+
+    def loss(self, wires, inputs=None, encode=False):
+        """Photon loss channel, theta parameter with T=cos^2(theta/2) (reference circuit.py:2794)."""
+        if inputs is None:
+            inputs = [float(np.random.rand() * np.pi)]
+        pidx = self._new_params(list(np.asarray(inputs, np.float64).reshape(-1)), encode, False)
+        op = PhotonicOp('PhotonLoss', [wires] if isinstance(wires, int) else wires,
+                        pidx, 1, kind='loss')
+        self.operators.append(op)
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(pidx)
+            self.ndata += 1
+        else:
+            self.npara += 1
+        self._version += 1
+        self._cache.clear()
+
+    def loss_t(self, wires, inputs=None, encode=False):
+        """Loss with transmittance input (reference circuit.py:2809)."""
+        from .channel import transmittance_to_theta
+        theta = None if inputs is None else [transmittance_to_theta(float(np.asarray(inputs).reshape(-1)[0]))]
+        self.loss(wires, theta, encode)
+
+    def loss_db(self, wires, inputs=None, encode=False):
+        """Loss in dB: T = 10^(-db/10) (reference circuit.py:2827)."""
+        from .channel import transmittance_to_theta
+        theta = None if inputs is None else [transmittance_to_theta(10 ** (-float(np.asarray(inputs).reshape(-1)[0]) / 10))]
+        self.loss(wires, theta, encode)
+
+    def measure_homodyne(self, shots: int = 10, wires=None, key=None):
+        """Homodyne results; conditional if measurements were added (reference circuit.py:1786).
+
+        Returns samples of shape (batch, shots, nwire), squeezed.
+        The post-measurement states are stored in ``self.state_measured``.
+        """
+        from ..ops.qmath import next_key
+        assert self.state is not None and not isinstance(self.state, dict), \
+            'Run forward first (without is_prob)'
+        if key is None:
+            key = next_key()
+        if self.measurements:
+            if self.backend == 'fock':
+                state = jnp.asarray(self.state)
+                batch_shape = () if state.ndim == self.nmode * (2 if self.den_mat else 1) else state.shape[:1]
+                batch = 1 if not batch_shape else int(batch_shape[0])
+                core = state.reshape((batch,) + state.shape[len(batch_shape):])
+                self.state_measured = jnp.concatenate([core] * shots, axis=0)
+            else:
+                parts = []
+                for s in self.state:
+                    s = jnp.asarray(s)
+                    if s.ndim == 2:
+                        s = s[None]
+                    batch = s.shape[0]
+                    parts.append(jnp.concatenate([s] * shots, axis=0))
+                self.state_measured = parts
+            samples = []
+            for i, op_m in enumerate(self.measurements):
+                self.state_measured = op_m(self.state_measured, key=jax.random.fold_in(key, i))
+                nwire = len(op_m.wires)
+                s = jnp.asarray(op_m.samples).reshape(shots, batch, -1)[..., :nwire]
+                samples.append(jnp.transpose(s, (1, 0, 2)))  # (batch, shots, nwire)
+            return jnp.concatenate(samples, axis=-1).squeeze()
+        # ideal homodyne on the final state
+        if wires is None:
+            wires = list(range(self.nmode))
+        wires = np.asarray(sorted([wires] if isinstance(wires, int) else list(wires)))
+        if self.backend == 'fock':
+            from .measurement import _sample_homodyne_fock
+            assert not self.basis and len(wires) == 1
+            vals = [_sample_homodyne_fock(self.state, int(wires[0]), self.nmode, self.cutoff,
+                                          jax.random.fold_in(key, k), self.den_mat)
+                    for k in range(shots)]
+            return jnp.asarray(vals)
+        cov, mean = self.state[0], self.state[1]
+        idx = np.concatenate([wires, wires + self.nmode])
+        cov_sub = jnp.asarray(cov)[..., idx[:, None], idx]
+        mean_sub = jnp.asarray(mean)[..., idx, :]
+        from .measurement import _mvn_sample
+        samples = _mvn_sample(key, jnp.real(mean_sub).squeeze(-1), cov_sub, (shots,))
+        return samples.squeeze()
 
     def barrier(self, wires=None):
         wires = list(range(self.nmode)) if wires is None else wires

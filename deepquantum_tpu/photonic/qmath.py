@@ -184,27 +184,39 @@ def sqrtm_herm(mat):
 def takagi(a):
     """Takagi decomposition of a complex symmetric matrix: a = u diag(s) u^T.
 
-    (reference photonic/qmath.py:371) — via the unitary from the SVD with a
-    phase correction.
-    """
-    a = jnp.asarray(a, dtype=cdtype())
-    u, s, vh = jnp.linalg.svd(a)
-    # phase fix: w = u^T conj(v); sqrt of w symmetrizes
-    v = jnp.conj(vh).T
-    w = u.T @ jnp.conj(v)
-    sqrt_w = _sqrtm_unitary_sym(w)
-    uu = u @ jnp.conj(sqrt_w)
-    return s, uu
-
-
-def _sqrtm_unitary_sym(w):
-    """Principal square root of a unitary symmetric matrix via eigendecomposition."""
-    # w unitary symmetric -> diagonalizable; use schur-free eig via jnp.linalg.eig (CPU)
-    # fall back to series on device: use takagi only on host-side setup paths.
-    w_np = np.asarray(jax.device_get(w))
-    vals, vecs = np.linalg.eig(w_np)
-    sq = vecs @ np.diag(np.sqrt(vals.astype(np.complex128))) @ np.linalg.inv(vecs)
-    return jnp.asarray(sq, dtype=w.dtype)
+    Returns (u, s) like the reference (photonic/qmath.py:371): via the real
+    2n x 2n embedding eigendecomposition, with the degenerate-eigenvalue
+    combination search. Host-side numpy (build-time)."""
+    import itertools
+    a = np.asarray(a).astype(np.complex128)
+    size = a.shape[0]
+    a2 = np.zeros((2 * size, 2 * size))
+    a2[:size, :size] = -a.real
+    a2[size:, size:] = a.real
+    a2[:size, size:] = a.imag
+    a2[size:, :size] = a.imag
+    s, u = np.linalg.eigh(a2)
+    diag = s[size:]
+    v = u[size:, size:] + 1j * u[:size, size:]
+    if np.allclose(v @ v.conj().T, np.eye(size), atol=1e-6):
+        return jnp.asarray(v, cdtype()), jnp.asarray(diag, rdtype())
+    # degenerate zero eigenvalues: search the correct eigenvector combination
+    idx_zero = np.where(np.abs(s) < 1e-5)[0]
+    idx_max = int(idx_zero.max()) + 1
+    temp = np.abs(u[:size, idx_max:]) ** 2 + np.abs(u[size:, idx_max:]) ** 2
+    sum_rhalf = temp.sum(1)
+    idx_lt_1 = np.where(np.abs(sum_rhalf - 1) > 1e-6)[0]
+    r = size - (2 * size - idx_max)
+    for comb in itertools.combinations(idx_zero.tolist(), r):
+        u_temp = u[:, list(comb)]
+        temp2 = np.abs(u_temp[idx_lt_1]) ** 2 + np.abs(u_temp[idx_lt_1 + size]) ** 2
+        sum_total = temp2.sum(1) + sum_rhalf[idx_lt_1]
+        if np.allclose(sum_total, np.ones(len(idx_lt_1))):
+            u_half = np.concatenate([u[:, list(comb)], u[:, idx_max:]], axis=1)
+            v = u_half[size:] + 1j * u_half[:size]
+            if np.allclose(v @ v.conj().T, np.eye(size), atol=1e-6):
+                return jnp.asarray(v, cdtype()), jnp.asarray(diag, rdtype())
+    raise RuntimeError('Takagi decomposition failed')
 
 
 def williamson(cov):

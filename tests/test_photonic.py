@@ -225,3 +225,39 @@ def test_photon_number_mean_var_vs_reference():
     exp_t, var_t = theirs.photon_number_mean_var()
     np.testing.assert_allclose(np.asarray(exp_o).reshape(-1), exp_t.detach().numpy().reshape(-1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(var_o).reshape(-1), var_t.detach().numpy().reshape(-1), atol=1e-5)
+
+
+def test_gbs_ansatz_vs_reference():
+    from deepquantum_tpu.photonic.ansatz import GaussianBosonSampling
+    from scipy.stats import unitary_group
+    u = unitary_group.rvs(3, random_state=7)
+    sq = [0.3, 0.4, 0.2]
+    ours = GaussianBosonSampling(nmode=3, squeezing=sq, unitary=u, cutoff=3)
+    theirs = ref_dq.GaussianBosonSampling(nmode=3, squeezing=torch.tensor(sq),
+                                          unitary=torch.tensor(u), cutoff=3)
+    theirs.to(torch.double)
+    cov_o, mean_o = ours()
+    cov_t, mean_t = theirs()
+    np.testing.assert_allclose(np.asarray(cov_o).squeeze(), cov_t.detach().numpy().squeeze(), atol=1e-5)
+
+
+def test_takagi():
+    from deepquantum_tpu.photonic.qmath import takagi
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    a = a + a.T
+    u, s = takagi(a)
+    u = np.asarray(u)
+    s = np.asarray(s)
+    np.testing.assert_allclose(u @ np.diag(s) @ u.T, a, atol=1e-5)
+
+
+def test_graph_gbs_builds():
+    from deepquantum_tpu.photonic.ansatz import GraphGBS
+    adj = np.array([[0, 1, 1, 0], [1, 0, 1, 0], [1, 1, 0, 1], [0, 0, 1, 0]], dtype=float)
+    gbs = GraphGBS(adj_mat=adj, cutoff=3, mean_photon_num=2)
+    cov, mean = gbs()
+    assert np.isfinite(np.asarray(cov)).all()
+    probs = gbs(is_prob=True)
+    total = sum(float(np.asarray(v).real) for v in probs.values())
+    assert 0.5 < total <= 1.001
