@@ -324,7 +324,7 @@ class QubitCircuit:
     # -------------------------------------------------------------- simulate
     def _apply_op(self, op: GateOp, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         n = self.nqubit
-        if op.kind == 'barrier':
+        if op.kind in ('barrier', 'cut'):
             return x
         if op.kind == 'channel':
             kraus = op.matrix(full_params)  # (K, 2^k, 2^k)
@@ -617,7 +617,7 @@ class QubitCircuit:
         def col(c):
             x = c.reshape([2] * n)
             for op in self.operators:
-                if op.kind in ('barrier',):
+                if op.kind in ('barrier', 'cut'):
                     continue
                 x = evolve_state_controlled(x, op.matrix(full), n, list(op.wires), list(op.controls))
             return x.reshape(-1)
@@ -1028,6 +1028,11 @@ class QubitCircuit:
                 wire2node[wire] = node
         pattern.set_nodes_out_seq([wire2node[i] for i in range(self.nqubit)])
         return pattern
+
+    def get_subexperiments(self, qubit_labels=None):
+        """Cutting subexperiments + quasiprobability coefficients (reference circuit.py:748)."""
+        from .cutting import get_subexperiments
+        return get_subexperiments(self, qubit_labels)
 
     def qasm(self) -> str:
         from .qasm import cir_to_qasm2
