@@ -91,6 +91,15 @@ class PhotonicOp:
         return self.fock_fn(self.params(full), cutoff)
 
 
+class _CVStateView:
+    """Light wrapper over already-built (cov, mean[, weight]) arrays."""
+
+    def __init__(self, cov, mean, weight=None):
+        self.cov = cov
+        self.mean = mean
+        self.weight = weight if weight is not None else jnp.ones(1, cdtype())
+
+
 class QumodeCircuit:
     """Photonic quantum circuit (API mirrors reference photonic/circuit.py:77).
 
@@ -134,6 +143,14 @@ class QumodeCircuit:
         self._cache: dict = {}
         self.measurements: list = []
         self.wires_homodyne: list = []
+        self._bosonic_states = None  # per-mode Bosonic initial states (cat/gkp sugar)
+        # TDM bookkeeping (reference photonic/circuit.py:145-161)
+        self._with_delay = False
+        self._nmode_tdm = nmode
+        self._ntau_dict = defaultdict(list)
+        self._unroll_dict = None
+        self._operators_tdm = None
+        self._measurements_tdm = None
         if cutoff is None:
             cutoff = 2 if backend == 'fock' else 5
         self.cutoff = cutoff
@@ -301,15 +318,17 @@ class QumodeCircuit:
             s = self._global_xp(op, full)[0] @ s
         return s
 
-    def _global_xp(self, op: PhotonicOp, full):
+    def _global_xp(self, op: PhotonicOp, full, nmode: int | None = None):
+        if nmode is None:
+            nmode = self._nmode_tdm if self._with_delay else self.nmode
         if op.xp_fn is None and (op.unitary_fn is not None or op.static_unitary is not None):
             m, v = passive_xp_from_unitary(jnp.asarray(op.unitary(full)))
         else:
             m, v = op.xp(full)
-        wires = list(op.wires) + [w + self.nmode for w in op.wires]
+        wires = list(op.wires) + [w + nmode for w in op.wires]
         ix = np.ix_(wires, wires)
-        s = jnp.eye(2 * self.nmode, dtype=rdtype()).at[ix].set(m.astype(rdtype()))
-        d = jnp.zeros((2 * self.nmode, 1), rdtype()).at[np.asarray(wires)].set(v.astype(rdtype()))
+        s = jnp.eye(2 * nmode, dtype=rdtype()).at[ix].set(m.astype(rdtype()))
+        d = jnp.zeros((2 * nmode, 1), rdtype()).at[np.asarray(wires)].set(v.astype(rdtype()))
         return s, d
 
     def get_displacement(self, init_mean, params=None) -> jnp.ndarray:
@@ -473,17 +492,33 @@ class QumodeCircuit:
     # CV helpers ------------------------------------------------------------
     def _forward_cv(self, data, state, is_prob, detector, params=None):
         if state is None:
-            state = self.init_state
-        elif not isinstance(state, (GaussianState, BosonicState)):
-            if self.backend == 'gaussian':
-                state = GaussianState(state, self.nmode, self.cutoff)
+            if self.backend == 'bosonic' and self._bosonic_states is not None:
+                from .state import combine_bosonic_states
+                state = combine_bosonic_states(self._bosonic_states, self.cutoff)
             else:
-                state = BosonicState(state, self.nmode, self.cutoff)
+                state = self.init_state
+        elif not isinstance(state, (GaussianState, BosonicState)):
+            nmode = self.nmode
+            if (isinstance(state, (list, tuple)) and len(state) >= 2
+                    and jnp.ndim(state[0]) >= 2
+                    and jnp.shape(state[0])[-1] == 2 * self._nmode_tdm):
+                nmode = self._nmode_tdm  # TDM feedback state on concurrent modes
+            if self.backend == 'gaussian':
+                state = GaussianState(state, nmode, self.cutoff) \
+                    if isinstance(state, (np.ndarray, str)) or not isinstance(state, (list, tuple)) \
+                    else _CVStateView(state[0], state[1])
+            else:
+                state = BosonicState(state, nmode, self.cutoff) \
+                    if isinstance(state, str) else _CVStateView(state[0], state[1],
+                                                                state[2] if len(state) > 2 else None)
         cov = jnp.asarray(state.cov, rdtype())
         mean_in = state.mean
         weight = jnp.asarray(state.weight, cdtype()) if self.backend == 'bosonic' else None
-        complex_mean = np.iscomplexobj(np.asarray(mean_in)) if isinstance(mean_in, np.ndarray) else False
         mean = jnp.asarray(mean_in, cdtype() if self.backend == 'bosonic' else rdtype())
+        if self._with_delay:
+            self._prepare_unroll_dict()
+            self._unroll_circuit()
+            cov, mean = self._unroll_init_state(cov, mean)
         key = ('cv', self._version, None if data is None else jnp.shape(data),
                jnp.shape(cov), self.backend)
         fn = self._cache.get(key)
@@ -514,8 +549,9 @@ class QumodeCircuit:
     def _run_cv(self, full, cov, mean):
         """Fold the affine symplectic (and loss X/Y) ops over (cov, mean)."""
         from .channel import loss_xy
-        n = self.nmode
-        for op in self.operators:
+        n = self._nmode_tdm if self._with_delay else self.nmode
+        operators = self._operators_tdm if self._with_delay else self.operators
+        for op in operators:
             if op.kind == 'loss':
                 x_loc, y_loc = loss_xy(op.params(full))
                 wires = list(op.wires) + [w + n for w in op.wires]
@@ -805,6 +841,119 @@ class QumodeCircuit:
     def ck(self, wires, inputs=None, encode=False, mu=None, sigma=None):
         self.add_op('CrossKerr', wires, inputs, encode)
 
+    def delay(self, wires, ntau: int = 1, inputs=None, convention: str = 'bs',
+              encode: bool = False, loop_gates=None, mu=None, sigma=None):
+        """Add a delay loop of ntau modes (reference circuit.py:2681).
+
+        'bs': BeamSplitterTheta coupling; 'mzi': MZI coupling.
+        """
+        assert convention in ('bs', 'mzi')
+        npara = 1 if convention == 'bs' else 2
+        if inputs is None:
+            values = [float(np.random.rand() * 2 * np.pi) for _ in range(npara)]
+        else:
+            values = list(np.asarray(inputs, np.float64).reshape(-1))
+        pidx = self._new_params(values, encode, inputs is None and not encode)
+        wire = wires if isinstance(wires, int) else wires[0]
+        op = PhotonicOp(f'Delay_{convention}', [wire], pidx, npara, kind='delay',
+                        extra={'ntau': ntau, 'convention': convention})
+        self.operators.append(op)
+        if encode:
+            self.encoders.append(op)
+            self._enc_pidx.extend(pidx)
+            self.ndata += npara
+        else:
+            self.npara += npara
+        self._with_delay = True
+        self._ntau_dict[wire].append(ntau)
+        self._nmode_tdm += ntau
+        self._unroll_dict = None
+        self._operators_tdm = None
+        self._measurements_tdm = None
+        self._version += 1
+        self._cache.clear()
+
+    def _prepare_unroll_dict(self):
+        """Spatial mode -> concurrent-mode blocks (reference circuit.py:696)."""
+        if self._unroll_dict is None:
+            self._unroll_dict = defaultdict(list)
+            wires = list(range(self._nmode_tdm))
+            start = 0
+            for i in range(self.nmode):
+                for ntau in reversed(self._ntau_dict[i]):
+                    self._unroll_dict[i].append(wires[start:start + ntau])
+                    start += ntau
+                self._unroll_dict[i].append(wires[start])
+                start += 1
+        return self._unroll_dict
+
+    def _unroll_init_state(self, cov, mean):
+        """Embed the spatial-mode state into the concurrent modes (reference circuit.py:710)."""
+        idx = np.array([v[-1] for v in self._unroll_dict.values()])
+        idx = np.concatenate([idx, idx + self._nmode_tdm])
+        nt = 2 * self._nmode_tdm
+        if cov.shape[-1] == nt:
+            return cov, mean
+        cov_tdm = jnp.broadcast_to(jnp.eye(nt, dtype=cov.dtype),
+                                   cov.shape[:-2] + (nt, nt)).copy() * (config.HBAR / (4 * config.KAPPA ** 2))
+        mean_tdm = jnp.zeros(mean.shape[:-2] + (nt, 1), mean.dtype)
+        cov_tdm = cov_tdm.at[..., idx[:, None], idx].set(cov)
+        mean_tdm = mean_tdm.at[..., idx, :].set(mean)
+        return cov_tdm, mean_tdm
+
+    def _unroll_circuit(self):
+        """Remap ops/measurements onto concurrent modes (reference circuit.py:726)."""
+        from .measurement import Homodyne
+        nmode = self._nmode_tdm
+        if self._operators_tdm is None:
+            ops = []
+            ndelay = np.zeros(self.nmode, np.int64)
+            for op in self.operators:
+                if op.kind == 'delay':
+                    wire = op.wires[0]
+                    ndelay[wire] += 1
+                    idx_delay = -int(ndelay[wire]) - 1
+                    wires = [self._unroll_dict[wire][idx_delay][0], self._unroll_dict[wire][-1]]
+                    conv = op.extra['convention']
+                    if conv == 'bs':
+                        fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.zeros((), rdtype())]))
+                    else:
+                        fn_u = lambda p: PG.mzi_unitary(p)
+                    g = PhotonicOp(op.name, wires, op.pidx, op.npara, 'gate',
+                                   unitary_fn=fn_u,
+                                   xp_fn=lambda p, _f=fn_u: passive_xp_from_unitary(_f(p)),
+                                   fock_fn=lambda p, c, _f=fn_u: PG.bs_fock_from_unitary(_f(p), c))
+                    ops.append(g)
+                else:
+                    g = _copy.copy(op)
+                    g.wires = tuple(self._unroll_dict[w][-1] for w in op.wires)
+                    ops.append(g)
+            self._operators_tdm = ops
+        if self._measurements_tdm is None:
+            ms = []
+            for op_m in self.measurements:
+                m2 = _copy.copy(op_m)
+                m2.nmode = nmode
+                m2.wires = [self._unroll_dict[w][-1] for w in op_m.wires]
+                ms.append(m2)
+            self._measurements_tdm = ms
+
+    def _shift_state(self, cov, mean, nstep: int = 1, reverse: bool = False):
+        """Cycle the delay-line modes by nstep (reference circuit.py:831)."""
+        from .qmath import shift_func
+        idx_shift = []
+        for wire in self._unroll_dict:
+            for idx in self._unroll_dict[wire]:
+                if isinstance(idx, int):
+                    idx_shift.append(idx)
+                else:
+                    idx_shift.extend(shift_func(list(idx), -nstep if reverse else nstep))
+        idx_shift = np.asarray(idx_shift)
+        idx_shift = np.concatenate([idx_shift, idx_shift + self._nmode_tdm])
+        cov = cov[..., idx_shift[:, None], idx_shift]
+        mean = mean[..., idx_shift, :]
+        return cov, mean
+
     def homodyne(self, wires, phi: float = 0.0, eps: float = 2e-4, mu=None, sigma=None):
         """Add a conditional homodyne measurement (reference circuit.py:2730)."""
         from .measurement import Homodyne
@@ -859,7 +1008,8 @@ class QumodeCircuit:
             'Run forward first (without is_prob)'
         if key is None:
             key = next_key()
-        if self.measurements:
+        measurements = self._measurements_tdm if self._with_delay else self.measurements
+        if measurements:
             if self.backend == 'fock':
                 state = jnp.asarray(self.state)
                 batch_shape = () if state.ndim == self.nmode * (2 if self.den_mat else 1) else state.shape[:1]
@@ -876,7 +1026,7 @@ class QumodeCircuit:
                     parts.append(jnp.concatenate([s] * shots, axis=0))
                 self.state_measured = parts
             samples = []
-            for i, op_m in enumerate(self.measurements):
+            for i, op_m in enumerate(measurements):
                 self.state_measured = op_m(self.state_measured, key=jax.random.fold_in(key, i))
                 nwire = len(op_m.wires)
                 s = jnp.asarray(op_m.samples).reshape(shots, batch, -1)[..., :nwire]
@@ -900,6 +1050,22 @@ class QumodeCircuit:
         from .measurement import _mvn_sample
         samples = _mvn_sample(key, jnp.real(mean_sub).squeeze(-1), cov_sub, (shots,))
         return samples.squeeze()
+
+    def cat(self, wires: int, r=None, theta=None, p: int = 1) -> None:
+        """Prepare a cat state on one mode (reference circuit.py:1888)."""
+        from .state import CatState
+        if self._bosonic_states is None:
+            self._bosonic_states = [BosonicState('vac', 1, self.cutoff) for _ in range(self.nmode)]
+        self._bosonic_states[wires] = CatState(r=r, theta=theta, p=p, cutoff=self.cutoff)
+
+    def gkp(self, wires: int, theta=None, phi=None, amp_cutoff: float = 0.1,
+            epsilon: float = 0.05) -> None:
+        """Prepare a GKP state on one mode (reference circuit.py:1899)."""
+        from .state import GKPState
+        if self._bosonic_states is None:
+            self._bosonic_states = [BosonicState('vac', 1, self.cutoff) for _ in range(self.nmode)]
+        self._bosonic_states[wires] = GKPState(theta=theta, phi=phi, amp_cutoff=amp_cutoff,
+                                               epsilon=epsilon, cutoff=self.cutoff)
 
     def barrier(self, wires=None):
         wires = list(range(self.nmode)) if wires is None else wires

@@ -56,7 +56,7 @@ class Generaldyne:
         n = self.nmode
         wires = np.asarray(self.wires)
         idx = np.concatenate([wires, wires + n])
-        idx_rest = np.array([i for i in range(2 * n) if i not in idx])
+        idx_rest = np.array([i for i in range(2 * n) if i not in idx], dtype=np.int64)
         cov_a = cov[..., idx_rest[:, None], idx_rest]
         cov_b = cov[..., idx[:, None], idx]
         cov_ab = cov[..., idx_rest[:, None], idx]

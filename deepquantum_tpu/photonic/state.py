@@ -160,54 +160,105 @@ class BosonicState:
         return self.weight.shape[-1]
 
 
-def CatState(r: float = 1.0, theta: float = 0.0, p: int = 1, cutoff: int = 5) -> BosonicState:
-    """Cat state |alpha> + (-1)^p |-alpha> as 2 (4 with cross terms) Gaussians
-    (reference photonic/state.py:415)."""
-    alpha = r * np.exp(1j * theta)
+def CatState(r: float = None, theta: float = None, p: int = 1, cutoff: int | None = None) -> BosonicState:
+    """Single-mode cat state as 4 weighted Gaussians (reference photonic/state.py:415,
+    arXiv:2103.05530 Sec. IV B)."""
     hbar, kappa = config.HBAR, config.KAPPA
-    scale = hbar ** 0.5 / kappa / 2 ** 0.5 * 2 ** 0.5  # sqrt(2 hbar)/2kappa... see below
-    # mean of |alpha>: (sqrt(hbar)/kappa) * (Re alpha, Im alpha) (vacuum-width coherent state)
-    s = hbar ** 0.5 / kappa
-    cov = np.eye(2) * hbar / (4 * kappa ** 2)
-    means = []
-    weights = []
-    norm = 2 * (1 + (-1) ** p * np.exp(-2 * r ** 2))
-    for sign in (1, -1):
-        means.append(sign * np.array([alpha.real, alpha.imag]) * s)
-        weights.append(1 / norm)
-    # cross terms (complex means)
-    means.append(np.array([1j * alpha.imag, -1j * alpha.real]) * s)
-    weights.append((-1) ** p * np.exp(-2 * r ** 2) / norm)
-    means.append(np.array([-1j * alpha.imag, 1j * alpha.real]) * s)
-    weights.append((-1) ** p * np.exp(-2 * r ** 2) / norm)
-    cov4 = np.stack([cov] * 4)
-    mean4 = np.stack(means).reshape(4, 2, 1)
-    w4 = np.array(weights)
-    return BosonicState([cov4, mean4, w4], nmode=1, cutoff=cutoff)
+    if r is None:
+        r = float(np.random.rand())
+    if theta is None:
+        theta = float(np.random.rand() * 2 * np.pi)
+    covs = np.eye(2) * hbar / (4 * kappa ** 2)
+    re = r * np.cos(theta)
+    im = r * np.sin(theta)
+    scale = hbar ** 0.5 / kappa
+    means = np.stack([
+        np.array([re, im], dtype=complex),
+        -np.array([re, im], dtype=complex),
+        1j * np.array([im, -re], dtype=complex),
+        -1j * np.array([im, -re], dtype=complex),
+    ]) * scale
+    temp = np.exp(-2 * r ** 2)
+    w0 = 0.5 / (1 + temp * np.cos(p * np.pi)) + 0j
+    weights = np.array([w0, w0,
+                        np.exp(-1j * np.pi * p) * temp * w0,
+                        np.exp(1j * np.pi * p) * temp * w0])
+    covs4 = np.stack([covs] * 4)
+    return BosonicState([covs4, means.reshape(4, 2, 1), weights], nmode=1, cutoff=cutoff or 5)
 
 
-def GKPState(mu: int = 0, delta: float = 0.3, nmax: int = 20, cutoff: int = 5) -> BosonicState:
-    """Finite-energy GKP state as a Gaussian comb (reference photonic/state.py:468)."""
+def _gkp_weight(k, l, theta, phi, epsilon):
+    """c_{k,l}(theta, phi) (reference photonic/state.py:531, arXiv:2103.05530 Eq.43/B1)."""
+    k = k.astype(np.int64)
+    l = l.astype(np.int64)
+    k2, l2, k4, l4 = k % 2, l % 2, k % 4, l % 4
+    result = np.zeros(len(k))
+    result[(k2 == 0) & (l2 == 0)] = 1
+    result[(k4 == 0) & (l2 == 1)] = np.cos(theta)
+    result[(k4 == 2) & (l2 == 1)] = -np.cos(theta)
+    result[(k4 == 3) & (l4 == 0)] = np.sin(theta) * np.cos(phi)
+    result[(k4 == 1) & (l4 == 0)] = np.sin(theta) * np.cos(phi)
+    result[(k4 == 3) & (l4 == 2)] = -np.sin(theta) * np.cos(phi)
+    result[(k4 == 1) & (l4 == 2)] = -np.sin(theta) * np.cos(phi)
+    result[(k4 == 3) & (l4 == 3)] = -np.sin(theta) * np.sin(phi)
+    result[(k4 == 1) & (l4 == 1)] = -np.sin(theta) * np.sin(phi)
+    result[(k4 == 3) & (l4 == 1)] = np.sin(theta) * np.sin(phi)
+    result[(k4 == 1) & (l4 == 3)] = np.sin(theta) * np.sin(phi)
+    exp_eps = np.exp(-2 * epsilon)
+    prefactor = np.exp(-0.25 * np.pi * (l ** 2 + k ** 2) * (1 - exp_eps) / (1 + exp_eps))
+    return result * prefactor
+
+
+def GKPState(theta: float = None, phi: float = None, amp_cutoff: float = 0.1,
+             epsilon: float = 0.05, cutoff: int | None = None) -> BosonicState:
+    """Finite-energy single-mode GKP state (reference photonic/state.py:468)."""
     hbar, kappa = config.HBAR, config.KAPPA
-    # lattice of means in units of sqrt(pi hbar)/ (2 kappa ... ) — follow the
-    # standard finite-energy construction (arXiv:2103.05530)
-    eps = delta ** 2
-    coef = np.sqrt(np.pi * hbar) / (2 * kappa)  # half-lattice spacing in x
-    means = []
-    weights = []
-    damp = np.exp(-eps)
-    for a in range(-nmax, nmax + 1):
-        for b in range(-nmax, nmax + 1):
-            # peaks at (a + mu/2) sqrt(pi hbar), b sqrt(pi hbar)/2 pattern
-            x = (2 * a + mu) * coef
-            pp = b * coef
-            w = np.exp(-0.25 * np.pi * eps * ((2 * a + mu) ** 2 + b ** 2)) * \
-                np.exp(-1j * np.pi * b * (2 * a + mu) / 2)
-            means.append([x * damp ** 0.5, pp * damp ** 0.5])
-            weights.append(w)
-    means = np.asarray(means, dtype=np.complex128).reshape(-1, 2, 1)
-    weights = np.asarray(weights)
+    if theta is None:
+        theta = float(np.random.rand() * 2 * np.pi)
+    if phi is None:
+        phi = float(np.random.rand() * 2 * np.pi)
+    exp_eps = np.exp(-2 * epsilon)
+    z_max = int(np.ceil(np.sqrt(-4 / np.pi * np.log(amp_cutoff) * (1 + exp_eps) / (1 - exp_eps))))
+    coords = np.arange(-z_max, z_max + 1)
+    gx, gy = np.meshgrid(coords, coords, indexing='ij')
+    means = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=1).astype(np.float64)
+    k, l = means[:, 0], means[:, 1]
+    weights = _gkp_weight(k, l, theta, phi, epsilon)
+    filt = np.abs(weights) > amp_cutoff
+    weights = weights[filt].astype(complex)
     weights = weights / weights.sum()
-    cov = np.eye(2) * hbar / (4 * kappa ** 2) * (1 - np.exp(-2 * eps)) / (1 + np.exp(-2 * eps))
-    covs = np.stack([cov] * len(weights))
-    return BosonicState([covs, means, weights], nmode=1, cutoff=cutoff)
+    means = means[filt]
+    means = means * np.exp(-epsilon) / (1 + exp_eps) * (np.pi * hbar / 2) ** 0.5 / kappa + 0j
+    covs = np.eye(2) * hbar / (4 * kappa ** 2) * (1 - exp_eps) / (1 + exp_eps)
+    covs = np.stack([covs] * len(weights))
+    return BosonicState([covs, means.reshape(-1, 2, 1), weights], nmode=1, cutoff=cutoff or 5)
+
+
+def combine_bosonic_states(states: list, cutoff: int | None = None) -> BosonicState:
+    """Tensor-product of Bosonic states: block-diag covs over the cartesian
+    product of components, kron of weights (reference photonic/state.py:734)."""
+    import itertools
+    if cutoff is None:
+        cutoff = states[0].cutoff
+    nmode = sum(s.nmode for s in states)
+    ncombs = [s.ncomb for s in states]
+    covs = []
+    means = []
+    weights = []
+    for combo in itertools.product(*[range(c) for c in ncombs]):
+        cov = np.zeros((2 * nmode, 2 * nmode), dtype=np.float64)
+        mean = np.zeros((2 * nmode, 1), dtype=np.complex128)
+        w = 1.0 + 0j
+        off = 0
+        for s, ci in zip(states, combo):
+            k = s.nmode
+            # xxpp block placement: x block at [off:off+k], p block at [nmode+off:...]
+            idx = np.concatenate([np.arange(off, off + k), nmode + np.arange(off, off + k)])
+            cov[np.ix_(idx, idx)] = np.asarray(s.cov)[0, ci]
+            mean[idx] = np.asarray(s.mean)[0, ci]
+            w = w * complex(np.asarray(s.weight)[0, ci])
+            off += k
+        covs.append(cov)
+        means.append(mean)
+        weights.append(w)
+    return BosonicState([np.stack(covs), np.stack(means), np.asarray(weights)], nmode, cutoff)
