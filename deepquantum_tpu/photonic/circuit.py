@@ -1020,8 +1020,6 @@ class QumodeCircuit:
                 parts = []
                 for s in self.state:
                     s = jnp.asarray(s)
-                    if s.ndim == 2:
-                        s = s[None]
                     batch = s.shape[0]
                     parts.append(jnp.concatenate([s] * shots, axis=0))
                 self.state_measured = parts

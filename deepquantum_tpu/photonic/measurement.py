@@ -83,10 +83,11 @@ class Generaldyne:
         # Bosonic: reweight the Gaussian components (arXiv:2103.05530 Eq.35-37)
         weight = jnp.asarray(x[2])
         if samples is None:
-            mean_m = self._sample_bosonic(key, cov_t, mean_b, weight)
+            mean_m = self._sample_bosonic(key, cov_t, mean_b, weight)  # (batch, 2w)
         else:
-            mean_m = jnp.asarray(samples, rdtype()).reshape(-1)
-        rm = mean_m.reshape((1,) * (mean_b.ndim - 2) + (-1, 1)).astype(mean_b.dtype)
+            mean_m = jnp.asarray(samples, rdtype()).reshape(1, -1)
+        mean_m = mean_m.reshape(-1, mean_m.shape[-1])
+        rm = mean_m[:, None, :, None].astype(mean_b.dtype)  # (batch, 1, 2w, 1)
         mb_im = jnp.imag(mean_b).astype(cov.dtype)
         mb_re = jnp.real(mean_b).astype(cov.dtype)
         exp_real = jnp.exp(jnp.swapaxes(mb_im, -1, -2) @ jnp.linalg.solve(cov_t, mb_im) / 2).squeeze((-1, -2))
@@ -105,14 +106,18 @@ class Generaldyne:
         return [cov_out, mean_out, weight]
 
     def _sample_bosonic(self, key, cov_t, mean_b, weight):
-        """Rejection-free approximate sampling: draw a component by |weight|,
-        then sample its real Gaussian (reference qmath.py:559 uses rejection)."""
-        w = jnp.abs(jnp.real(weight)).reshape(-1)
-        w = w / w.sum()
-        comp = jax.random.categorical(key, jnp.log(w + 1e-38))
-        mb = jnp.real(mean_b).reshape(-1, mean_b.shape[-2])[comp]
-        ct = cov_t.reshape(-1, cov_t.shape[-2], cov_t.shape[-1])
-        ct = ct[comp % ct.shape[0]]
+        """Rejection-free approximate sampling, one draw per batch row: pick a
+        component by |weight|, then sample its real Gaussian (the reference
+        uses rejection sampling, qmath.py:559)."""
+        batch = mean_b.shape[0]
+        ncomb = mean_b.shape[1]
+        w = jnp.abs(jnp.real(weight))
+        w = jnp.broadcast_to(w, (batch, ncomb))
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        comps = jax.random.categorical(key, jnp.log(w + 1e-38), axis=-1)  # (batch,)
+        mb = jnp.real(mean_b)[jnp.arange(batch), comps, :, 0]             # (batch, 2w)
+        ct = jnp.broadcast_to(cov_t, (batch, ncomb) + cov_t.shape[-2:])
+        ct = ct[jnp.arange(batch), comps]                                 # (batch, 2w, 2w)
         return _mvn_sample(jax.random.fold_in(key, 1), mb, ct)
 
     __call__ = forward
