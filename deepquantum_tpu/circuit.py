@@ -1029,6 +1029,14 @@ class QubitCircuit:
         pattern.set_nodes_out_seq([wire2node[i] for i in range(self.nqubit)])
         return pattern
 
+    def draw(self, output: str = 'text', **kwargs):
+        """Draw the circuit (text-based; the reference uses qiskit, circuit.py:815)."""
+        from .draw import draw_circuit_text
+        text = draw_circuit_text(self)
+        if output in ('text', 'mpl'):
+            print(text)
+        return text
+
     def get_subexperiments(self, qubit_labels=None):
         """Cutting subexperiments + quasiprobability coefficients (reference circuit.py:748)."""
         from .cutting import get_subexperiments

@@ -640,16 +640,45 @@ class QumodeCircuit:
         raise NotImplementedError
 
     def photon_number_mean_var(self, wires=None):
-        """Photon statistics for the Gaussian backend (reference circuit.py:1645)."""
-        assert self.backend in ('gaussian', 'bosonic')
+        """Photon-number statistics (reference circuit.py:1645)."""
+        if wires is None:
+            wires = list(range(self.nmode))
+        wires = [wires] if isinstance(wires, int) else list(wires)
+        if self.backend == 'fock':
+            from .wigner import photon_number_mean_var_fock
+            assert not self.basis, 'Use Fock tensor mode for photon statistics'
+            return photon_number_mean_var_fock(self.state, self.nmode, self.cutoff,
+                                               wires, self.den_mat)
         state = self._cv_state if isinstance(self.state, dict) else self.state
         cov, mean = state[0], state[1]
         exp, var = photon_number_mean_var(cov, mean)
-        if wires is not None:
-            wires = [wires] if isinstance(wires, int) else list(wires)
-            exp = exp[..., jnp.array(wires)]
-            var = var[..., jnp.array(wires)]
+        exp = exp[..., jnp.array(wires)]
+        var = var[..., jnp.array(wires)]
         return exp, var
+
+    def quadrature_mean(self, wires=None):
+        """<x> per wire (reference circuit.py:1695)."""
+        if wires is None:
+            wires = list(range(self.nmode))
+        wires = [wires] if isinstance(wires, int) else list(wires)
+        if self.backend == 'fock':
+            from .wigner import quadrature_mean_fock
+            assert not self.basis
+            return quadrature_mean_fock(self.state, self.nmode, self.cutoff, wires, self.den_mat)
+        state = self._cv_state if isinstance(self.state, dict) else self.state
+        mean = jnp.asarray(state[1])
+        return jnp.real(mean[..., jnp.array(wires), 0])
+
+    def wigner(self, wire: int, **kwargs):
+        """Wigner function of one mode of the final state."""
+        if self.backend == 'fock':
+            from .wigner import fock_to_wigner
+            assert not self.basis
+            return fock_to_wigner(self.state, wire, self.nmode, self.cutoff,
+                                  self.den_mat, **kwargs)
+        from .wigner import cv_to_wigner
+        state = self._cv_state if isinstance(self.state, dict) else self.state
+        return cv_to_wigner(state, wire, **kwargs)
 
     def get_amplitude(self, final_state, init_state=None, unitary=None) -> jnp.ndarray:
         """Transfer amplitude <final|U|init> for the Fock-basis backend."""
@@ -1048,6 +1077,17 @@ class QumodeCircuit:
         from .measurement import _mvn_sample
         samples = _mvn_sample(key, jnp.real(mean_sub).squeeze(-1), cov_sub, (shots,))
         return samples.squeeze()
+
+    def draw(self, filename: str | None = None, unroll: bool = False):
+        """Render the circuit to SVG (reference circuit.py:1862)."""
+        from .draw import DrawCircuit
+        ops = self._operators_tdm if (unroll and self._with_delay) else self.operators
+        drawer = DrawCircuit(self.name, self._nmode_tdm if (unroll and self._with_delay) else self.nmode,
+                             ops, self.measurements)
+        svg = drawer.draw()
+        if filename:
+            drawer.save(filename)
+        return svg
 
     def cat(self, wires: int, r=None, theta=None, p: int = 1) -> None:
         """Prepare a cat state on one mode (reference circuit.py:1888)."""

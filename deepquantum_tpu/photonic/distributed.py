@@ -1,0 +1,118 @@
+"""Distributed Fock-state simulation over a device mesh.
+
+TPU-native counterpart of reference src/deepquantum/photonic/distributed.py +
+DistributedQumodeCircuit (reference photonic/circuit.py:2860-2933). Instead of
+rank-explicit base-cutoff digit exchanges, the cutoff^nmode amplitude tensor
+is GSPMD-sharded on its flat axis; gates on sharded (leading) modes compile to
+XLA all-to-alls over ICI. world_size=1 equals the local Fock-tensor engine.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import cdtype, rdtype
+from ..parallel.sharded import make_mesh
+from .circuit import QumodeCircuit
+from .state import FockState
+
+__all__ = ['DistributedFockState', 'DistributedQumodeCircuit']
+
+
+class DistributedFockState:
+    """A mesh-sharded Fock state tensor (reference photonic/state.py:623)."""
+
+    def __init__(self, state, nmode: int, cutoff: int, mesh=None) -> None:
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+        self.nmode = nmode
+        self.cutoff = cutoff
+        self.sharding = NamedSharding(mesh, P('sv'))
+        if isinstance(state, FockState):
+            state = state.state
+        ints = np.asarray(state, np.int64).reshape(-1)
+        amps = np.zeros(cutoff ** nmode, dtype=cdtype())
+        idx = 0
+        for i, k in enumerate(ints):
+            idx = idx * cutoff + int(k)
+        amps[idx] = 1
+        # complex host->device: route through the transfer-safe helper
+        from ..utils.compat import to_device
+        self.amps = jax.device_put(to_device(amps), self.sharding)
+
+    def reset(self) -> None:
+        zeros = np.zeros(self.cutoff ** self.nmode, dtype=cdtype())
+        zeros[0] = 1
+        from ..utils.compat import to_device
+        self.amps = jax.device_put(to_device(zeros), self.sharding)
+
+
+class DistributedQumodeCircuit(QumodeCircuit):
+    """Fock-tensor circuit over a sharded amplitude axis (reference circuit.py:2860)."""
+
+    def __init__(self, nmode: int, init_state, cutoff: int | None = None,
+                 name: str | None = None, mesh=None) -> None:
+        super().__init__(nmode=nmode, init_state=init_state, cutoff=cutoff,
+                         backend='fock', basis=False, name=name)
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+        self.sharding = NamedSharding(mesh, P('sv'))
+
+    def forward(self, data=None, state=None, is_prob=None, detector=None,
+                sort=True, stepwise=False, params=None):
+        if state is None:
+            init = self.init_state.state
+            if not isinstance(init, np.ndarray):
+                init = np.asarray(init)
+            state = init.reshape(-1)
+        elif isinstance(state, DistributedFockState):
+            state = state.amps
+        elif isinstance(state, FockState):
+            state = np.asarray(state.state).reshape(-1)
+        if isinstance(state, np.ndarray):
+            from ..utils.compat import to_device
+            state = jax.device_put(to_device(state.astype(cdtype())), self.sharding)
+        key = ('dist_fock', self._version, None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, state_):
+                didx = None if data_ is None else self._data_indices(data_.shape[-1])
+                full = self._full_params(params_, data_, didx)
+                out = self._run_fock_tensor(full, state_, None)
+                out = jax.lax.with_sharding_constraint(out.reshape(-1), self.sharding)
+                return out
+            fn = jax.jit(run, out_shardings=self.sharding)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        self.state = fn(p, data, state)
+        return self.state
+
+    def measure(self, shots: int = 1024, with_prob: bool = False, wires=None,
+                detector=None, key=None, mcmc: bool = False):
+        """Sample Fock outcomes from the sharded amplitudes.
+
+        The reference's two-level rank sampling (photonic/distributed.py:100)
+        is one fused categorical under GSPMD.
+        """
+        from collections import Counter
+        from ..ops.qmath import next_key, sample_probs
+        assert self.state is not None
+        if key is None:
+            key = next_key()
+        probs = jnp.abs(self.state) ** 2
+        samples = Counter(sample_probs(probs / probs.sum(), shots, key).tolist())
+        c, n = self.cutoff, self.nmode
+        res = {}
+        probs_np = None
+        if with_prob:
+            probs_np = np.asarray(probs)
+        for idx, v in samples.items():
+            b = np.unravel_index(idx, [c] * n)
+            fs = FockState(list(b), n, c, basis=True)
+            res[fs] = (v, float(probs_np[idx])) if with_prob else v
+        return res

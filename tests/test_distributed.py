@@ -88,3 +88,51 @@ def test_dryrun_multichip():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_distributed_fock_matches_local():
+    """Sharded Fock tensor engine vs local (reference tests/test_circuit.py:143)."""
+    from deepquantum_tpu.photonic import QumodeCircuit
+    from deepquantum_tpu.photonic.distributed import DistributedQumodeCircuit
+
+    def build(c):
+        c.ps(0, inputs=0.3)
+        c.bs([0, 1], inputs=[0.4, 0.5])
+        c.s(1, r=0.2, theta=0.1)
+        c.d(2, r=0.3, theta=0.7)
+        c.bs([1, 2], inputs=[0.8, 0.1])
+
+    local = QumodeCircuit(nmode=3, init_state=[1, 0, 0], cutoff=3, backend='fock', basis=False)
+    dist = DistributedQumodeCircuit(nmode=3, init_state=[1, 0, 0], cutoff=3, mesh=make_mesh(3))  # mesh size must divide cutoff**nmode
+    build(local)
+    build(dist)
+    s_local = np.asarray(local()).reshape(-1)
+    s_dist = np.asarray(dist()).reshape(-1)
+    np.testing.assert_allclose(s_dist, s_local, atol=1e-10)
+    res = dist.measure(shots=100)
+    assert sum(res.values()) == 100
+
+
+def test_adjoint_gradient_matches_autodiff():
+    """Adjoint-method gradients equal plain AD (reference tests/test_circuit.py:45 strategy)."""
+    from deepquantum_tpu.adjoint import make_adjoint_expectation
+    n = 4
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.rx(i, inputs=0.3 + 0.1 * i)
+        cir.rz(i, inputs=0.2 + 0.05 * i)
+    for i in range(n - 1):
+        cir.cnot(i, i + 1)
+    cir.crx(0, 3, inputs=0.4)
+    cir.observable(list(range(n)), basis='z' * n)
+    cir._train_mask = [True] * len(cir._pvals)
+
+    p = cir.params
+    e_adj_fn = make_adjoint_expectation(cir)
+    e_ad = cir.expectation(params=p)[0]
+    e_adj = e_adj_fn(p)
+    np.testing.assert_allclose(float(e_adj), float(e_ad), atol=1e-10)
+
+    g_ad = jax.grad(lambda q: cir.expectation(params=q)[0])(p)
+    g_adj = jax.grad(e_adj_fn)(p)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ad), atol=1e-8)

@@ -85,3 +85,33 @@ def test_fourier_optimizer_converges():
     # probe-grid point, reference semantics)
     final = list(opt.param_dict.values())
     assert target(final) < -0.95
+
+
+def test_draw_text():
+    cir = dq.QubitCircuit(3)
+    cir.h(0)
+    cir.cnot(0, 2)
+    cir.rx(1, inputs=0.3)
+    text = cir.draw()
+    assert 'q0' in text and 'H' in text and 'CX' in text
+
+
+def test_photonic_draw_svg(tmp_path):
+    from deepquantum_tpu.photonic import QumodeCircuit
+    cir = QumodeCircuit(nmode=3, init_state='vac', cutoff=3, backend='gaussian')
+    cir.s(0, r=0.4)
+    cir.bs([0, 1], inputs=[0.5, 0.1])
+    cir.homodyne_x(2)
+    svg = cir.draw(filename=str(tmp_path / 'c.svg'))
+    assert svg.startswith('<svg') and (tmp_path / 'c.svg').exists()
+
+
+def test_unitary_mapper_single_qubit():
+    from deepquantum_tpu.photonic.mapper import UnitaryMapper
+    h = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    mapper = UnitaryMapper(nqubit=1, nmode=2, ugate=h, success=1.0)
+    sols = mapper.solve_eqs_real(total_trials=5)
+    assert sols, 'no solution found'
+    u = sols[0]
+    assert mapper.is_unitary(u)
+    np.testing.assert_allclose(np.abs(mapper.get_transfer_mat(u)), np.abs(h), atol=1e-5)

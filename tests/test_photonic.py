@@ -261,3 +261,36 @@ def test_graph_gbs_builds():
     probs = gbs(is_prob=True)
     total = sum(float(np.asarray(v).real) for v in probs.values())
     assert 0.5 < total <= 1.001
+
+
+def test_wigner_vs_reference():
+    from deepquantum_tpu.photonic.wigner import cv_to_wigner, fock_to_wigner
+    from deepquantum.photonic.qmath import cv_to_wigner as ref_cv_wigner
+    from deepquantum.photonic.qmath import fock_to_wigner as ref_fock_wigner
+    # CV: squeezed vacuum
+    ours = QumodeCircuit(nmode=1, init_state='vac', cutoff=4, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=1, init_state='vac', cutoff=4, backend='gaussian')
+    for c in (ours, theirs):
+        c.s(0, r=0.5, theta=0.3)
+    ours()
+    theirs.to(torch.double)
+    theirs()
+    w_o = np.asarray(ours.wigner(0, npoints=41, plot=False))
+    w_t = ref_cv_wigner([theirs.state[0], theirs.state[1]], 0, npoints=41, plot=False).numpy()
+    np.testing.assert_allclose(w_o.squeeze(), w_t.squeeze(), atol=1e-6)
+    # Fock: single photon
+    cir = QumodeCircuit(nmode=1, init_state=[1], cutoff=4, backend='fock', basis=False)
+    cir()
+    w_f = np.asarray(cir.wigner(0, npoints=31, plot=False))
+    w_ref = ref_fock_wigner(torch.tensor(np.asarray(cir.state)), 0, 1, 4, npoints=31, plot=False).numpy()
+    np.testing.assert_allclose(w_f.squeeze(), w_ref.squeeze(), atol=1e-6)
+
+
+def test_quadrature_and_photon_stats_fock():
+    cir = QumodeCircuit(nmode=1, init_state=[1], cutoff=5, backend='fock', basis=False)
+    cir.d(0, r=0.3, theta=0.0)
+    cir()
+    exp, var = cir.photon_number_mean_var()
+    assert float(np.asarray(exp).reshape(-1)[0]) > 0.9  # one photon + displacement
+    xm = np.asarray(cir.quadrature_mean())
+    assert np.isfinite(xm).all()
