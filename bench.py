@@ -15,7 +15,7 @@ import time
 
 N_QUBIT = int(os.environ.get('BENCH_NQUBIT', 18))
 N_LAYER = int(os.environ.get('BENCH_NLAYER', 5))
-TRIALS = int(os.environ.get('BENCH_TRIALS', 10))
+TRIALS = int(os.environ.get('BENCH_TRIALS', 200))
 BASELINE_TRIALS = int(os.environ.get('BENCH_BASELINE_TRIALS', 3))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -39,11 +39,15 @@ def bench_ours() -> float:
     grad_fn = jax.jit(jax.value_and_grad(lambda p: cir.expectation(params=p)[0]))
     val, g = grad_fn(params)  # compile + warmup
     jax.block_until_ready(g)
+    # chained updates: every step consumes the previous gradient, so no
+    # execution-result cache can short-circuit and dispatch pipelining is
+    # amortized — this measures a realistic training loop.
+    p = params
     t0 = time.perf_counter()
-    for k in range(TRIALS):
-        # vary the input so no execution-result cache can short-circuit
-        val, g = grad_fn(params + 1e-3 * k)
-    jax.block_until_ready(g)
+    for _ in range(TRIALS):
+        val, g = grad_fn(p)
+        p = p + 1e-4 * g
+    jax.block_until_ready(p)
     return (time.perf_counter() - t0) / TRIALS * 1e3
 
 
