@@ -74,6 +74,25 @@ def _flat_wires(wires):
     return list(wires)
 
 
+def _apply_reset(x, wires, postselect, n):
+    """Project each wire onto |postselect>, renormalize, move it to |0>
+    (reference gate.py:3047-3065; the sign-mask keeps it vmap-safe when the
+    postselected branch has zero probability)."""
+    if len(wires) == n:
+        flat = jnp.zeros(2 ** n, dtype=x.dtype).at[0].set(1)
+        return flat.reshape([2] * n)
+    for wire in wires:
+        xt = jnp.moveaxis(x, wire, 0)
+        sel = xt[postselect]
+        prob = jnp.sum(jnp.abs(sel) ** 2)
+        mask = 1 - jnp.sign(prob)
+        alt = xt[1 - postselect]
+        state0 = ((1 - mask) * sel + mask * alt) / jnp.sqrt(prob + mask)
+        xt = jnp.stack([state0, jnp.zeros_like(state0)])
+        x = jnp.moveaxis(xt, 0, wire)
+    return x
+
+
 def _eager() -> bool:
     """True outside any jit/vmap trace."""
     try:
@@ -392,6 +411,13 @@ class QubitCircuit:
         n = self.nqubit
         if op.kind in ('barrier', 'cut'):
             return x
+        if op.kind == 'reset':
+            assert not self.den_mat, 'Reset acts on state vectors'
+            return _apply_reset(x, op.wires, op.extra.get('postselect', 0), n)
+        if op.kind == 'move':
+            assert not self.den_mat, 'Move acts on state vectors'
+            x = _apply_reset(x, (op.wires[1],), op.extra.get('postselect', 0), n)
+            return evolve_state(x, G.swap_matrix(), n, list(op.wires))
         if op.kind == 'channel':
             kraus = op.matrix(full_params)  # (K, 2^k, 2^k)
             def apply_k(k):
@@ -1038,6 +1064,24 @@ class QubitCircuit:
     def barrier(self, wires=None):
         wires = self._layer_wires(wires)
         op = GateOp(name='Barrier', wires=tuple(wires), kind='barrier')
+        self.operators.append(op)
+        self._version += 1
+        self._cache.clear()
+
+    def reset(self, wires=None, postselect: int | None = 0):
+        """Reset wires to |0> with postselection (reference gate.py:3027)."""
+        wires = self._layer_wires(wires)
+        assert postselect in (0, 1), 'vmap-compatible reset requires postselect 0 or 1'
+        op = GateOp(name='Reset', wires=tuple(wires), kind='reset',
+                    extra={'postselect': postselect})
+        self.operators.append(op)
+        self._version += 1
+        self._cache.clear()
+
+    def move(self, wire1: int, wire2: int, postselect: int | None = 0):
+        """Reset wire2 then swap (reference gate.py:3141 Move)."""
+        op = GateOp(name='Move', wires=(wire1, wire2), kind='move',
+                    extra={'postselect': postselect})
         self.operators.append(op)
         self._version += 1
         self._cache.clear()

@@ -220,7 +220,7 @@ class MatrixProductState:
         state = list(state) + [0] * (self.nsite - len(state))
         tensors = []
         for s in state:
-            if isinstance(s, int):
+            if isinstance(s, (int, np.integer)):
                 t = np.zeros((1, self.qudit, 1), dtype=cdtype())
                 t[0, s, 0] = 1
                 tensors.append(t)

@@ -161,6 +161,18 @@ class QumodeCircuit:
         if self.backend == 'fock':
             if init_state is None:
                 init_state = [0] * self.nmode
+            if self.mps:
+                from ..mps import MatrixProductState
+                assert not self.basis, 'MPS requires basis=False'
+                if isinstance(init_state, MatrixProductState):
+                    self.init_state = init_state
+                    self.chi = init_state.chi
+                else:
+                    ints = list(np.asarray(init_state, np.int64).reshape(-1))
+                    self.init_state = MatrixProductState(nsite=self.nmode, state=ints,
+                                                         chi=self.chi, qudit=self.cutoff)
+                    self.chi = self.init_state.chi
+                return
             if isinstance(init_state, FockState):
                 self.init_state = init_state
             else:
@@ -430,6 +442,8 @@ class QumodeCircuit:
 
     # Fock-tensor helpers ---------------------------------------------------
     def _forward_fock_tensor(self, data, state, is_prob, params=None):
+        if self.mps:
+            return self._forward_fock_mps(data, state, params)
         if state is None:
             state = self.init_state
         if isinstance(state, FockState):
@@ -457,6 +471,40 @@ class QumodeCircuit:
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
         self.state = fn(p, data, state)
+        return self.state
+
+    def _forward_fock_mps(self, data, state, params=None):
+        from ..mps import MatrixProductState, apply_gate_mps
+        if state is None:
+            state = self.init_state
+        tensors = state.tensors if isinstance(state, MatrixProductState) else state
+        if _eager():
+            from ..utils.compat import to_device
+            tensors = [to_device(t) if isinstance(t, np.ndarray) else t for t in tensors]
+        key = ('fock_mps', self._version, None if data is None else jnp.shape(data))
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(params_, data_, tensors_):
+                didx = None if data_ is None else self._data_indices(data_.shape[-1])
+                full = self._full_params(params_, data_, didx)
+                st = (list(tensors_), -1)
+                for op in self.operators:
+                    if op.kind != 'gate':
+                        continue
+                    mat = jnp.asarray(op.fock(full, self.cutoff), cdtype())
+                    k = len(op.wires)
+                    mat = mat.reshape(self.cutoff ** k, self.cutoff ** k)
+                    st = apply_gate_mps(st, mat, sorted(op.wires), self.chi,
+                                        normalize=True, qudit=self.cutoff)
+                return st[0]
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        p = None if params is None else jnp.asarray(params, rdtype())
+        out = fn(p, data, tensors)
+        if _eager():
+            from ..utils.compat import normalize_layout
+            out = [normalize_layout(t) for t in out]
+        self.state = out
         return self.state
 
     def _run_fock_tensor(self, full, x, is_prob=None):

@@ -83,3 +83,20 @@ def test_partition_labels():
     assert labels[0] == labels[1]
     assert labels[2] == labels[3]
     assert labels[0] != labels[2]
+
+
+def test_reset_and_move():
+    import pytest
+    torch = pytest.importorskip('torch')
+    import deepquantum as ref_dq
+    ours = dq.QubitCircuit(2)
+    theirs = ref_dq.QubitCircuit(2)
+    for c in (ours, theirs):
+        c.h(0)
+        c.cnot(0, 1)
+        c.reset(1)
+        c.rx(1, inputs=0.4)
+        c.move(0, 1)
+    s_o = np.asarray(ours()).reshape(-1)
+    s_t = theirs().detach().numpy().reshape(-1)
+    np.testing.assert_allclose(s_o, s_t, atol=1e-6)

@@ -115,3 +115,18 @@ def test_unitary_mapper_single_qubit():
     u = sols[0]
     assert mapper.is_unitary(u)
     np.testing.assert_allclose(np.abs(mapper.get_transfer_mat(u)), np.abs(h), atol=1e-5)
+
+
+def test_save_load_params(tmp_path):
+    from deepquantum_tpu.utils import save_params, load_params
+    cir = dq.QubitCircuit(2)
+    cir.rx(0)
+    cir.ry(1)
+    cir.observable(0)
+    e1 = float(cir.expectation()[0])
+    fn = str(tmp_path / 'p.npz')
+    save_params(cir, fn)
+    cir.params = np.zeros(2)
+    load_params(cir, fn)
+    e2 = float(cir.expectation()[0])
+    np.testing.assert_allclose(e1, e2, atol=1e-12)

@@ -294,3 +294,21 @@ def test_quadrature_and_photon_stats_fock():
     assert float(np.asarray(exp).reshape(-1)[0]) > 0.9  # one photon + displacement
     xm = np.asarray(cir.quadrature_mean())
     assert np.isfinite(xm).all()
+
+
+def test_fock_mps_vs_tensor():
+    """Fock tensor vs Fock MPS (reference tests/test_circuit.py:24-43)."""
+    from deepquantum_tpu.mps import full_tensor
+    tensor_cir = QumodeCircuit(nmode=3, init_state=[1, 0, 1], cutoff=3, backend='fock', basis=False)
+    mps_cir = QumodeCircuit(nmode=3, init_state=[1, 0, 1], cutoff=3, backend='fock',
+                            basis=False, mps=True, chi=32)
+    for cir in (tensor_cir, mps_cir):
+        cir.bs([0, 1], inputs=[0.5, 0.2])
+        cir.ps(1, inputs=0.7)
+        cir.bs([1, 2], inputs=[0.3, 0.9])
+    dense = np.asarray(tensor_cir()).reshape(-1)
+    tensors = mps_cir()
+    mps_dense = np.asarray(full_tensor(tensors)).reshape(-1)
+    k = np.argmax(np.abs(dense))
+    np.testing.assert_allclose(np.abs(mps_dense), np.abs(dense), atol=1e-6)
+    np.testing.assert_allclose(mps_dense * (dense[k] / mps_dense[k]), dense, atol=1e-6)
