@@ -96,23 +96,13 @@ def ladder_to_quadrature(tensor, symplectic: bool = False):
     return jnp.real(omega @ tensor) * config.HBAR ** 0.5 / (2 * config.KAPPA)
 
 
-@lru_cache(maxsize=None)
-def _subset_masks(n: int, chunk: int):
-    """All 2^n subset masks as a numpy {0,1} matrix, split into chunks."""
-    total = 1 << n
-    idx = np.arange(total, dtype=np.int64)
-    bits = ((idx[:, None] >> np.arange(n)) & 1).astype(np.float64)
-    pad = (-total) % chunk
-    if pad:
-        bits = np.concatenate([bits, np.zeros((pad, n))])
-    return bits.reshape(-1, chunk, n)
-
-
 def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
     """Permanent via the Ryser formula (reference photonic/qmath.py:75-146).
 
     perm(A) = (-1)^n sum_{S subseteq [n]} (-1)^{|S|} prod_j (sum_{i in S} A_ij)
-    vectorized: subset masks @ A on the MXU, scanned over chunks.
+    vectorized: subset masks @ A on the MXU, scanned over chunks. The masks
+    are derived on-device from the subset index bits (no 2^n x n constant —
+    at n=22 that constant would be hundreds of MB of program).
     """
     mat = jnp.asarray(mat, dtype=cdtype())
     n = mat.shape[-1]
@@ -127,15 +117,18 @@ def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
                 + mat[0, 2] * mat[1, 0] * mat[2, 1] + mat[0, 0] * mat[1, 2] * mat[2, 1]
                 + mat[0, 1] * mat[1, 0] * mat[2, 2] + mat[0, 2] * mat[1, 1] * mat[2, 0])
     chunk = min(chunk_size, 1 << n)
-    masks = _subset_masks(n, chunk)  # (nchunk, chunk, n) numpy
-    def body(acc, mask):
-        mask_c = mask.astype(mat.dtype)
-        rows = mask_c @ mat                                 # (chunk, n)
-        # subsets with |S|=0 give rows=0 -> prod=0: harmless
-        prods = jnp.prod(rows, axis=-1)
-        signs = 1 - 2 * (jnp.sum(mask, axis=-1).astype(jnp.int32) & 1)
+    nchunk = (1 << n) // chunk
+    local = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def body(acc, c_idx):
+        idx = local + c_idx * chunk                         # (chunk, 1)
+        bits = (idx >> jnp.arange(n, dtype=jnp.int32)[None, :]) & 1
+        rows = bits.astype(mat.dtype) @ mat                 # (chunk, n) on the MXU
+        prods = jnp.prod(rows, axis=-1)                     # |S|=0 row is 0: harmless
+        signs = 1 - 2 * (jnp.sum(bits, axis=-1) & 1)
         return acc + jnp.sum(prods * signs), None
-    total, _ = jax.lax.scan(body, jnp.zeros((), mat.dtype), jnp.asarray(masks))
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), mat.dtype), jnp.arange(nchunk, dtype=jnp.int32))
     sign_n = 1 if n % 2 == 0 else -1
     return sign_n * total
 
