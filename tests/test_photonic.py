@@ -312,3 +312,19 @@ def test_fock_mps_vs_tensor():
     k = np.argmax(np.abs(dense))
     np.testing.assert_allclose(np.abs(mps_dense), np.abs(dense), atol=1e-6)
     np.testing.assert_allclose(mps_dense * (dense[k] / mps_dense[k]), dense, atol=1e-6)
+
+
+def test_permanent_pallas_kernel():
+    """Pallas VMEM-sweep kernel agrees with the XLA scan path (f32 accumulation)."""
+    import jax
+    if jax.devices()[0].platform not in ('tpu', 'axon'):
+        import pytest
+        pytest.skip('Pallas TPU kernel needs TPU hardware')
+    from deepquantum_tpu.ops.pallas_kernels import permanent_pallas
+    rng = np.random.default_rng(4)
+    m = (rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))) * 0.5
+    v_jnp = complex(np.asarray(jnp.real(permanent(jnp.asarray(m)))) +
+                    1j * np.asarray(jnp.imag(permanent(jnp.asarray(m)))))
+    v_pal = permanent_pallas(jnp.asarray(m, jnp.complex64))
+    v_pal = complex(float(np.asarray(jnp.real(v_pal))), float(np.asarray(jnp.imag(v_pal))))
+    assert abs(v_pal - v_jnp) / abs(v_jnp) < 1e-3
