@@ -53,8 +53,18 @@ class DistributedQubitCircuit(QubitCircuit):
         self.state = fn(p, data, state)
         return self.state
 
-    def expectation(self, data=None, state=None, params=None, shots: int | None = None):
+    def expectation(self, data=None, state=None, params=None, shots: int | None = None,
+                    adjoint: bool = False):
         assert len(self.observables) > 0, 'There is no observable'
+        if adjoint:
+            # O(1)-memory adjoint path (reference circuit.py:1706 uses
+            # AdjointExpectation for the distributed circuit)
+            from ..adjoint import make_adjoint_expectation
+            assert data is None, 'adjoint path takes parameters only'
+            p = self.params if params is None else jnp.asarray(params, rdtype())
+            outs = [make_adjoint_expectation(self, i)(p)
+                    for i in range(len(self.observables))]
+            return jnp.stack(outs, axis=-1)
         key = ('dexp', self._version, None if data is None else jnp.shape(data))
         fn = self._cache.get(key)
         if fn is None:

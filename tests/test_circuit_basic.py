@@ -160,3 +160,41 @@ def test_vs_reference_random_circuit():
     u_ours = np.asarray(ours.get_unitary())
     u_theirs = theirs.get_unitary().detach().numpy()
     np.testing.assert_allclose(u_ours, u_theirs, atol=1e-6)
+
+
+def test_defer_measure_and_condition():
+    """Mid-circuit measurement via deferred-measurement principle
+    (reference circuit.py:430, tests exercise condition + defer_measure)."""
+    cir = dq.QubitCircuit(2)
+    cir.h(0)
+    cir.x(1, controls=0, condition=True)  # conditional X: same as deferred CNOT
+    cir()
+    assert cir.wires_condition == [0]
+    state, bit, prob = cir.defer_measure(with_prob=True)
+    # measured wire is sliced out: remaining qubit collapsed to |bit>
+    dense = np.asarray(state).reshape(-1)
+    np.testing.assert_allclose(abs(dense[int(bit)]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(prob, 0.5, atol=1e-6)
+    post = cir.post_select('0')
+    np.testing.assert_allclose(abs(np.asarray(post).reshape(-1)[0]), 1.0, atol=1e-6)
+
+
+def test_distributed_adjoint_expectation():
+    from deepquantum_tpu.parallel import DistributedQubitCircuit, make_mesh
+    n = 4
+    dist = DistributedQubitCircuit(n, mesh=make_mesh(4))
+    local = dq.QubitCircuit(n)
+    for c in (dist, local):
+        for i in range(n):
+            c.rx(i, inputs=0.2 + 0.1 * i)
+        for i in range(n - 1):
+            c.cnot(i, i + 1)
+        c.observable(0)
+        c._train_mask = [True] * len(c._pvals)
+    p = local.params
+    e_adj = dist.expectation(params=p, adjoint=True)
+    e_ad = local.expectation(params=p)
+    np.testing.assert_allclose(np.asarray(e_adj), np.asarray(e_ad), atol=1e-10)
+    g_adj = jax.grad(lambda q: dist.expectation(params=q, adjoint=True)[0])(p)
+    g_ad = jax.grad(lambda q: local.expectation(params=q)[0])(p)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ad), atol=1e-8)
