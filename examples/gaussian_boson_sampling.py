@@ -1,0 +1,32 @@
+"""Gaussian boson sampling with hafnian-based detector probabilities
+(counterpart of reference examples GBS notebooks)."""
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import numpy as np
+from scipy.stats import unitary_group
+
+from deepquantum_tpu.photonic.ansatz import GaussianBosonSampling
+
+
+def main():
+    nmode = 4
+    squeezing = [0.5, 0.4, 0.3, 0.2]
+    unitary = unitary_group.rvs(nmode, random_state=0)
+    gbs = GaussianBosonSampling(nmode=nmode, squeezing=squeezing, unitary=unitary,
+                                cutoff=3, backend='gaussian')
+    probs = gbs(is_prob=True)
+    print('top outcomes:')
+    for fs, p in list(probs.items())[:6]:
+        print(f'  {fs}: {float(np.asarray(p)):.5f}')
+    samples = gbs.measure(shots=1000)
+    print('samples:', {str(k): v for k, v in list(samples.items())[:6]})
+    exp, var = gbs.photon_number_mean_var()
+    print('photon number mean:', np.asarray(exp).round(4))
+
+
+if __name__ == '__main__':
+    main()
