@@ -225,3 +225,40 @@ def inner_product_mps(tensors0, tensors1) -> jnp.ndarray:
         tmp = jnp.tensordot(env, b, axes=[[1], [0]])       # (chi0_l, d, chi1_r)
         env = jnp.tensordot(jnp.conj(a), tmp, axes=[[0, 1], [0, 1]])  # (chi0_r, chi1_r)
     return env.reshape(())
+
+
+def is_unitary(u, atol: float = 1e-4) -> bool:
+    """Check unitarity (reference qmath.py:117)."""
+    u = np.asarray(u)
+    return bool(np.allclose(u @ u.conj().T, np.eye(u.shape[-1]), atol=atol))
+
+
+def is_density_matrix(rho, atol: float = 1e-5) -> bool:
+    """Hermitian, unit-trace, PSD check (reference qmath.py:128)."""
+    rho = np.asarray(rho)
+    if rho.ndim == 2:
+        rho = rho[None]
+    herm = np.allclose(rho, np.conj(np.swapaxes(rho, -1, -2)), atol=atol)
+    tr = np.allclose(np.trace(rho, axis1=-2, axis2=-1), 1, atol=atol)
+    psd = all(np.linalg.eigvalsh(r).min() > -atol for r in rho)
+    return bool(herm and tr and psd)
+
+
+def int_to_bitstring(number: int, nbit: int, debug: bool = False) -> str:
+    """Integer -> fixed-width bit string (reference qmath.py helper)."""
+    from ..models.ansatz import int_to_bitstring as _f
+    return _f(number, nbit, debug)
+
+
+def sample_sc_mcmc(prob_func=None, proposal_sampler=None, shots: int = 1024,
+                   num_chain: int = 5, state=None, key=None):
+    """API-parity shim for the reference's MCMC MPS sampler (qmath.py:641).
+
+    The TPU build samples MPS exactly (ancestral sampling, mps.measure_mps)
+    — no burn-in, exact marginals — so this delegates when given a state and
+    otherwise raises with guidance.
+    """
+    if state is not None:
+        from ..mps import measure_mps
+        return measure_mps(state, shots=shots, key=key)
+    raise NotImplementedError('exact sampling replaces MCMC: use QubitCircuit.measure')

@@ -648,6 +648,14 @@ class QumodeCircuit:
                 res = {basis[i]: (v, row[i]) if with_prob else v for i, v in samples.items()}
                 results.append(res)
             return results[0] if single else results
+        if self.backend == 'fock' and not self.basis and self.mps:
+            from ..mps import measure_mps
+            res_raw = measure_mps(self.state, shots=shots, key=key)
+            out = {}
+            for bits, v in res_raw.items():
+                fs = FockState([int(c) for c in bits], self.nmode, self.cutoff, basis=True)
+                out[fs] = v
+            return out
         if self.backend == 'fock' and not self.basis:
             x = self.state
             c, n = self.cutoff, self.nmode

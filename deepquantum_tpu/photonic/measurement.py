@@ -21,7 +21,7 @@ from ..ops.apply import evolve_den_mat, evolve_state
 from ..ops.qmath import next_key
 from . import gates as PG
 
-__all__ = ['Generaldyne', 'Homodyne']
+__all__ = ['Generaldyne', 'Homodyne', 'GeneralBosonic', 'PhotonNumberResolvingBosonic']
 
 
 def _mvn_sample(key, mean, cov, shape=()):
@@ -234,3 +234,106 @@ def _sample_homodyne_fock(state, wire: int, nmode: int, cutoff: int, key, den_ma
     pdf = pdf / jnp.sum(pdf)
     idx = jax.random.categorical(key, jnp.log(pdf + 1e-38))
     return float(xs[int(idx)])
+
+
+class GeneralBosonic(Generaldyne):
+    """General Bosonic measurement: condition on a Bosonic POVM element
+    (reference measurement.py:257, arXiv:2103.05530 Eq.30-31/35-37).
+
+    The measurement itself is a weighted combination of Gaussians
+    (cov_j, weight_j); conditioning multiplies the component sets.
+    """
+
+    def __init__(self, cov, weight, nmode: int = 1, wires=None, cutoff: int | None = None,
+                 name: str = 'GeneralBosonic') -> None:
+        wires = list(range(nmode)) if wires is None else ([wires] if isinstance(wires, int) else list(wires))
+        nwire = len(wires)
+        cov = np.asarray(cov, np.float64).reshape(-1, 2 * nwire, 2 * nwire)
+        super().__init__(cov_m=cov[0], nmode=nmode, wires=wires, cutoff=cutoff, name=name)
+        self.cov_j = cov
+        self.weight_j = np.asarray(weight, complex).reshape(-1)
+
+    def forward(self, x: list, samples=None, key=None) -> list:
+        cov, mean = jnp.asarray(x[0]), jnp.asarray(x[1])
+        if cov.ndim == 3:
+            cov = cov[:, None]
+        if mean.ndim == 3:
+            mean = mean[:, None]
+        mean = mean.astype(cdtype())
+        weight = jnp.asarray(x[2], cdtype()) if len(x) > 2 else jnp.ones(cov.shape[:2], cdtype())
+        n = self.nmode
+        wires = np.asarray(self.wires)
+        idx = np.concatenate([wires, wires + n])
+        idx_rest = np.array([i for i in range(2 * n) if i not in idx], dtype=np.int64)
+        ncomb_j = len(self.weight_j)
+        # expand components: (batch, ncomb, ncomb_j, ...)
+        cov_e = cov[:, :, None]
+        mean_e = mean[:, :, None]
+        cov_a = cov_e[..., idx_rest[:, None], idx_rest]
+        cov_b = cov_e[..., idx[:, None], idx]
+        cov_ab = cov_e[..., idx_rest[:, None], idx]
+        mean_a = mean_e[..., idx_rest, :]
+        mean_b = mean_e[..., idx, :]
+        cov_t = cov_b + jnp.asarray(self.cov_j, cov.dtype)[None, None]
+        cov_a = cov_a - cov_ab @ jnp.linalg.solve(cov_t, jnp.swapaxes(cov_ab, -1, -2))
+        batch = cov.shape[0]
+        ncomb = cov.shape[1]
+        def flat(z):
+            return z.reshape((batch, ncomb * ncomb_j) + z.shape[3:])
+        weight_new = flat(weight[:, :, None] * jnp.asarray(self.weight_j, cdtype())[None, None])
+        cov_new = flat(cov_t)
+        mean_new = flat(jnp.broadcast_to(mean_b, mean_b.shape[:2] + (ncomb_j,) + mean_b.shape[3:]))
+        if key is None:
+            key = next_key()
+        if samples is None:
+            mean_m = self._sample_bosonic(key, cov_new, mean_new, weight_new)
+        else:
+            mean_m = jnp.asarray(samples, rdtype()).reshape(1, -1)
+        mean_m = mean_m.reshape(-1, mean_m.shape[-1])
+        rm = mean_m[:, None, :, None].astype(cdtype())
+        mb_im = jnp.imag(mean_new).astype(cov.dtype)
+        exp_real = jnp.exp(jnp.swapaxes(mb_im, -1, -2) @ jnp.linalg.solve(cov_new, mb_im) / 2).squeeze((-1, -2))
+        diff = jnp.real(rm).astype(cov.dtype) - jnp.real(mean_new).astype(cov.dtype)
+        quad = (jnp.swapaxes(diff, -1, -2) @ jnp.linalg.solve(cov_new, diff)).squeeze((-1, -2))
+        det = jnp.linalg.det(2 * jnp.pi * cov_new)
+        prob_g = jnp.exp(-quad / 2) / jnp.sqrt(det)
+        exp_imag = jnp.exp(1j * (jnp.swapaxes(diff, -1, -2).astype(cdtype())
+                                 @ jnp.linalg.solve(cov_new.astype(cdtype()), 1j * mb_im.astype(cdtype())) / 1j
+                                 ).squeeze((-1, -2)))
+        weight_out = weight_new * exp_real * prob_g * exp_imag
+        weight_out = weight_out / jnp.sum(weight_out, axis=-1, keepdims=True)
+        mean_a_new = flat(mean_a + cov_ab.astype(cdtype())
+                          @ jnp.linalg.solve(cov_t.astype(cdtype()),
+                                             rm[:, None] - mean_b))
+        cov_a_new = flat(cov_a)
+        nt = 2 * n
+        eye = jnp.eye(nt, dtype=cov.dtype)
+        cov_out = jnp.broadcast_to(eye, cov_a_new.shape[:2] + (nt, nt)).copy()
+        cov_out = cov_out.at[..., idx_rest[:, None], idx_rest].set(cov_a_new)
+        mean_out = jnp.zeros(mean_a_new.shape[:2] + (nt, 1), cdtype())
+        mean_out = mean_out.at[..., idx_rest, :].set(mean_a_new)
+        self.samples = mean_m
+        return [cov_out, mean_out, weight_out]
+
+    __call__ = forward
+
+
+class PhotonNumberResolvingBosonic(GeneralBosonic):
+    """PNR measurement on a Bosonic state via the Fock-state POVM
+    (reference measurement.py:363)."""
+
+    def __init__(self, n: int, r: float = 0.05, nmode: int = 1, wires=None,
+                 cutoff: int | None = None, name: str = 'PhotonNumberResolvingBosonic') -> None:
+        from .state import FockStateBosonic
+        wires = [0] if wires is None else ([wires] if isinstance(wires, int) else list(wires))
+        state = FockStateBosonic(n, r, cutoff)
+        cov = np.asarray(state.cov)[0]
+        weight = np.asarray(state.weight)[0]
+        super().__init__(cov=cov, weight=weight, nmode=nmode, wires=wires,
+                         cutoff=cutoff or state.cutoff, name=name)
+        assert len(self.wires) == 1, f'{self.name} must act on one mode'
+
+    def forward(self, x: list, samples=None, key=None) -> list:
+        return super().forward(x, samples=np.zeros(2), key=key)
+
+    __call__ = forward

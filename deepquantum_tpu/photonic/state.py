@@ -16,7 +16,7 @@ import numpy as np
 from .. import config
 from ..config import cdtype, rdtype
 
-__all__ = ['FockState', 'GaussianState', 'BosonicState', 'CatState', 'GKPState']
+__all__ = ['FockState', 'GaussianState', 'BosonicState', 'CatState', 'GKPState', 'FockStateBosonic']
 
 
 class FockState:
@@ -262,3 +262,21 @@ def combine_bosonic_states(states: list, cutoff: int | None = None) -> BosonicSt
         means.append(mean)
         weights.append(w)
     return BosonicState([np.stack(covs), np.stack(means), np.asarray(weights)], nmode, cutoff)
+
+
+def FockStateBosonic(n: int, r: float = 0.05, cutoff: int | None = None) -> BosonicState:
+    """Single-mode Fock state as a Gaussian combination (reference
+    photonic/state.py:596, arXiv:2103.05530 Sec. IV C)."""
+    from scipy.special import comb
+    assert r ** 2 < 1 / n, 'NOT a physical state'
+    hbar, kappa = config.HBAR, config.KAPPA
+    m = np.arange(n + 1)
+    combs = comb(n, m)
+    weight = (1 - n * r ** 2) / (1 - (n - m) * r ** 2) * combs * (-1.0) ** (n - m)
+    weight = (weight / weight.sum()).astype(complex)
+    mean = np.zeros((n + 1, 2, 1), dtype=complex)
+    cov = (np.eye(2)[None] * hbar / (4 * kappa ** 2)
+           * ((1 + (n - m) * r ** 2) / (1 - (n - m) * r ** 2)).reshape(-1, 1, 1))
+    if cutoff is None:
+        cutoff = n + 1
+    return BosonicState([cov, mean, weight], 1, cutoff)

@@ -59,3 +59,26 @@ def test_bosonic_homodyne_runs():
     cir()
     samples = np.asarray(cir.measure_homodyne(shots=3))
     assert np.isfinite(samples).all()
+
+
+def test_fock_state_bosonic_vs_reference():
+    from deepquantum_tpu.photonic.state import FockStateBosonic
+    ours = FockStateBosonic(2, r=0.05)
+    theirs = ref_dq.FockStateBosonic(2, r=0.05)
+    np.testing.assert_allclose(np.asarray(ours.weight).squeeze(),
+                               theirs.weight.numpy().squeeze(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.cov).squeeze(),
+                               theirs.cov.numpy().squeeze(), atol=1e-6)
+
+
+def test_pnrd_bosonic_measurement_runs():
+    from deepquantum_tpu.photonic.measurement import PhotonNumberResolvingBosonic
+    cir = QumodeCircuit(nmode=2, init_state='vac', cutoff=4, backend='bosonic')
+    cir.cat(0, r=1.0, theta=0.0, p=0)
+    cir.bs([0, 1], inputs=[0.5, 0.1])
+    state = cir()
+    m = PhotonNumberResolvingBosonic(n=1, nmode=2, wires=1)
+    out = m(state)
+    w = np.asarray(out[2])
+    np.testing.assert_allclose(np.abs(w.sum(-1)), 1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(out[0])).all()
