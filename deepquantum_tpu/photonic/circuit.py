@@ -381,7 +381,13 @@ class QumodeCircuit:
         if not self.basis:
             return self._forward_fock_tensor(data, state, is_prob, params)
         in_state = self._basis_input(state)
-        assert in_state.ndim == 1, 'batched basis input: loop on host'
+        if in_state.ndim == 2:
+            # batched basis inputs: host loop over rows (reference vmaps the
+            # same helper, circuit.py:341-368); outputs merge per state
+            outs = [self._forward_fock(data, row, is_prob, sort, params)
+                    for row in in_state]
+            self.state = outs
+            return outs
         if is_prob is None and data is None and params is None:
             self.state = self.get_unitary()
             return self.state

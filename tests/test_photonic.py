@@ -328,3 +328,13 @@ def test_permanent_pallas_kernel():
     v_pal = permanent_pallas(jnp.asarray(m, jnp.complex64))
     v_pal = complex(float(np.asarray(jnp.real(v_pal))), float(np.asarray(jnp.imag(v_pal))))
     assert abs(v_pal - v_jnp) / abs(v_jnp) < 1e-3
+
+
+def test_batched_basis_input():
+    cir = QumodeCircuit(nmode=2, init_state=[1, 0], cutoff=3, backend='fock', basis=True)
+    cir.bs([0, 1], inputs=[0.4, 0.1])
+    outs = cir(state=np.array([[1, 0], [0, 1]]), is_prob=True)
+    assert isinstance(outs, list) and len(outs) == 2
+    for out in outs:
+        total = sum(float(np.asarray(v)) for v in out.values())
+        np.testing.assert_allclose(total, 1.0, atol=1e-6)
