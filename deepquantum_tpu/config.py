@@ -14,6 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Quantum amplitudes need true f32 matmuls everywhere: the MXU's default
+# bf16 passes break unitarity at the 1e-3 level over ~100 gates (each small
+# gate-matrix product contributes). This covers the fusion products, kron
+# pre-multiplies, MPO contractions, and covariance folds uniformly.
+jax.config.update('jax_default_matmul_precision', 'highest')
+
 _COMPLEX = jnp.complex64
 _REAL = jnp.float32
 
