@@ -104,3 +104,27 @@ def test_qft_vs_reference():
     theirs.to(torch.complex128)
     np.testing.assert_allclose(np.asarray(ours.get_unitary()),
                                theirs.get_unitary().detach().numpy(), atol=1e-6)
+
+
+def test_layered_scan_ansatz_matches_ir():
+    """Scan-compiled layered VQE equals the unrolled IR engine."""
+    from deepquantum_tpu.models.layered import make_layered_vqe
+    np.random.seed(3)
+    n, layers = 5, 3
+    fn, params = make_layered_vqe(n, layers)
+    e_scan = float(fn(params))
+    cir = dq.QubitCircuit(n)
+    p = np.asarray(params).reshape(layers, n, 3)
+    for l in range(layers):
+        for i in range(n):
+            cir.rx(i, inputs=float(p[l, i, 0]))
+            cir.rz(i, inputs=float(p[l, i, 1]))
+            cir.rx(i, inputs=float(p[l, i, 2]))
+        cir.cnot_ring()
+    cir.observable(list(range(n)), basis='x' * n)
+    e_ir = float(cir.expectation()[0])
+    np.testing.assert_allclose(e_scan, e_ir, atol=1e-8)
+    # gradients flow through scan + remat
+    import jax
+    g = jax.grad(fn)(params)
+    assert np.isfinite(np.asarray(g)).all()
