@@ -758,10 +758,21 @@ class QumodeCircuit:
         return permanent(sub) / norm
 
     def get_prob(self, final_state, refer_state=None, unitary=None) -> jnp.ndarray:
+        """Probability of one Fock outcome (reference circuit.py:1005)."""
         if self.backend == 'fock':
             amp = self.get_amplitude(final_state, refer_state, unitary)
             return jnp.abs(amp) ** 2
-        raise NotImplementedError('Gaussian get_prob comes with gaussian_prob')
+        # Gaussian/Bosonic: hafnian/torontonian probability of one outcome
+        from .gaussian_prob import probs_gaussian_helper
+        state = self._cv_state if isinstance(self.state, dict) else self.state
+        assert state is not None, 'Run the circuit forward first'
+        cov = jnp.asarray(state[0]).reshape(-1, 2 * self.nmode, 2 * self.nmode)
+        mean = jnp.asarray(state[1]).reshape(-1, 2 * self.nmode, 1)
+        fs = tuple(int(x) for x in np.asarray(final_state).reshape(-1))
+        probs = [probs_gaussian_helper([fs], cov[i], mean[i], self.detector)[0]
+                 for i in range(cov.shape[0])]
+        out = jnp.stack(probs)
+        return out[0] if out.shape[0] == 1 else out
 
     @property
     def max_depth(self) -> int:

@@ -37,3 +37,21 @@ def test_tdm_vs_global_circuit_first_step():
     from deepquantum_tpu.photonic.circuit import QumodeCircuit as QC
     base = QC.forward(cir)  # one step, no measurement
     np.testing.assert_allclose(np.asarray(base[0]).squeeze(), np.asarray(cov_m).squeeze(), atol=1e-6)
+
+
+def test_gaussian_get_prob_single_state():
+    import pytest
+    torch = pytest.importorskip('torch')
+    import deepquantum as ref_dq
+    from deepquantum_tpu.photonic import QumodeCircuit
+    ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+    for c in (ours, theirs):
+        c.s(0, r=0.5)
+        c.bs([0, 1], inputs=[0.4, 0.2])
+    ours()
+    theirs.to(torch.double)
+    theirs()
+    p_o = float(np.asarray(ours.get_prob([1, 1])))
+    p_t = float(theirs.get_prob(torch.tensor([1, 1])).detach())
+    np.testing.assert_allclose(p_o, p_t, atol=1e-6)
