@@ -9,6 +9,7 @@ dynamically, which cannot trace).
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import reduce
 from typing import Any
 
 import networkx as nx
@@ -16,7 +17,7 @@ import numpy as np
 
 from ..circuit import QubitCircuit
 from ..config import cdtype
-from ..ops.qmath import inverse_permutation, multi_kron
+from ..ops.qmath import inverse_permutation
 from ..state import QubitState
 from ..utils.compat import to_numpy
 
@@ -49,7 +50,9 @@ class SubGraphState:
         wires = [0] + [self.node2wire_dict[node] + 1 for node in nodes]
         plus = np.array([[1], [1]], dtype=cdtype()) / 2 ** 0.5
         state = np.asarray(to_numpy(self.state)).reshape(-1, 1) if not isinstance(self.state, np.ndarray) else self.state.reshape(-1, 1)
-        init = multi_kron([np.asarray(state)] + [plus] * len(nodes_bg))
+        # host-side kron: multi_kron returns a device array and complex
+        # device->host readback is UNIMPLEMENTED on some TPU attachment paths
+        init = reduce(np.kron, [plus] * len(nodes_bg), np.asarray(state))
         init = np.asarray(init).reshape([-1] + [2] * nqubit)
         init = np.transpose(init, inverse_permutation(wires)).reshape(-1, 2 ** nqubit)
         cir = QubitCircuit(nqubit=nqubit, init_state=init[0] if init.shape[0] == 1 else init)
@@ -88,7 +91,7 @@ class SubGraphState:
                 'zero': np.array([1, 0], dtype=cdtype()),
                 'one': np.array([0, 1], dtype=cdtype()),
             }[state]
-            state = multi_kron([base] * nqubit) if nqubit > 0 else np.ones((), cdtype())
+            state = reduce(np.kron, [base] * nqubit) if nqubit > 0 else np.ones((), cdtype())
             self.state = np.asarray(state)
             return
         if nqubit > 0:

@@ -97,7 +97,9 @@ class _CVStateView:
     def __init__(self, cov, mean, weight=None):
         self.cov = cov
         self.mean = mean
-        self.weight = weight if weight is not None else jnp.ones(1, cdtype())
+        # numpy: eager creation of a complex device constant is an
+        # UNIMPLEMENTED host->device transfer on some TPU attachment paths
+        self.weight = weight if weight is not None else np.ones(1, complex)
 
 
 class QumodeCircuit:
@@ -565,10 +567,17 @@ class QumodeCircuit:
                 state = BosonicState(state, nmode, self.cutoff) \
                     if isinstance(state, str) else _CVStateView(state[0], state[1],
                                                                 state[2] if len(state) > 2 else None)
+        # to_device: bosonic mean/weight are complex — ship real/imag pairs
+        # (complex host->device transfers are UNIMPLEMENTED on some TPU paths).
+        from ..utils.compat import to_device
         cov = jnp.asarray(state.cov, rdtype())
         mean_in = state.mean
-        weight = jnp.asarray(state.weight, cdtype()) if self.backend == 'bosonic' else None
-        mean = jnp.asarray(mean_in, cdtype() if self.backend == 'bosonic' else rdtype())
+        if self.backend == 'bosonic':
+            weight = jnp.asarray(to_device(state.weight), cdtype())
+            mean = jnp.asarray(to_device(mean_in), cdtype())
+        else:
+            weight = None
+            mean = jnp.asarray(mean_in, rdtype())
         if self._with_delay:
             self._prepare_unroll_dict()
             self._unroll_circuit()

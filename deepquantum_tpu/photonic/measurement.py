@@ -48,11 +48,30 @@ class Generaldyne:
         self.cov_m = np.asarray(cov_m, dtype=np.float64).reshape(2 * nwire, 2 * nwire)
         self.samples = None
         self.npara = 0
+        self._jit_cache: dict = {}
 
     def forward(self, x: list, samples=None, key=None) -> list:
-        cov, mean = x[0], x[1]
-        cov = jnp.asarray(cov)
-        mean = jnp.asarray(mean)
+        # The full Schur conditioning runs under one jit: eager per-primitive
+        # dispatch of complex/zero-size gathers is UNIMPLEMENTED on some TPU
+        # attachment paths, and one compiled call is faster anyway.
+        if key is None:
+            key = next_key()
+        bosonic = len(x) > 2
+        have_samples = samples is not None
+        samples_arr = None if samples is None else jnp.asarray(samples, rdtype())
+        cache_key = (bosonic, have_samples, jnp.shape(x[0]), jnp.shape(x[1]),
+                     None if samples_arr is None else samples_arr.shape)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(self._conditioned)
+            self._jit_cache[cache_key] = fn
+        cov_out, mean_out, weight_out, mean_m = fn(
+            jnp.asarray(x[0]), jnp.asarray(x[1]),
+            jnp.asarray(x[2]) if bosonic else None, key, samples_arr)
+        self.samples = mean_m
+        return [cov_out, mean_out] if weight_out is None else [cov_out, mean_out, weight_out]
+
+    def _conditioned(self, cov, mean, weight, key, samples_arr):
         n = self.nmode
         wires = np.asarray(self.wires)
         idx = np.concatenate([wires, wires + n])
@@ -66,26 +85,22 @@ class Generaldyne:
 
         cov_a = cov_a - cov_ab @ jnp.linalg.solve(cov_t, jnp.swapaxes(cov_ab, -1, -2))
         eye = jnp.eye(2 * n, dtype=cov.dtype)
-        cov_out = jnp.broadcast_to(eye, cov.shape).copy()
+        cov_out = jnp.broadcast_to(eye, cov.shape)
         cov_out = cov_out.at[..., idx_rest[:, None], idx_rest].set(cov_a)
 
-        if key is None:
-            key = next_key()
-        if len(x) == 2:  # Gaussian
-            if samples is None:
+        if weight is None:  # Gaussian
+            if samples_arr is None:
                 mean_m = _mvn_sample(key, mean_b.squeeze(-1), cov_t)
             else:
-                mean_m = jnp.asarray(samples, cov.dtype).reshape(mean_b.shape[:-2] + (2 * len(self.wires),))
+                mean_m = samples_arr.astype(cov.dtype).reshape(mean_b.shape[:-2] + (2 * len(self.wires),))
             mean_a = mean_a + cov_ab @ jnp.linalg.solve(cov_t, mean_m[..., None] - mean_b)
             mean_out = jnp.zeros_like(mean).at[..., idx_rest, :].set(mean_a)
-            self.samples = mean_m
-            return [cov_out, mean_out]
+            return cov_out, mean_out, None, mean_m
         # Bosonic: reweight the Gaussian components (arXiv:2103.05530 Eq.35-37)
-        weight = jnp.asarray(x[2])
-        if samples is None:
+        if samples_arr is None:
             mean_m = self._sample_bosonic(key, cov_t, mean_b, weight)  # (batch, 2w)
         else:
-            mean_m = jnp.asarray(samples, rdtype()).reshape(1, -1)
+            mean_m = samples_arr.reshape(1, -1)
         mean_m = mean_m.reshape(-1, mean_m.shape[-1])
         rm = mean_m[:, None, :, None].astype(mean_b.dtype)  # (batch, 1, 2w, 1)
         mb_im = jnp.imag(mean_b).astype(cov.dtype)
@@ -102,8 +117,7 @@ class Generaldyne:
         weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
         mean_a = mean_a + cov_ab.astype(mean_b.dtype) @ jnp.linalg.solve(cov_t.astype(mean_b.dtype), rm - mean_b)
         mean_out = jnp.zeros_like(mean).at[..., idx_rest, :].set(mean_a)
-        self.samples = mean_m
-        return [cov_out, mean_out, weight]
+        return cov_out, mean_out, weight, mean_m
 
     def _sample_bosonic(self, key, cov_t, mean_b, weight):
         """Rejection-free approximate sampling, one draw per batch row: pick a
@@ -259,8 +273,23 @@ class GeneralBosonic(Generaldyne):
             cov = cov[:, None]
         if mean.ndim == 3:
             mean = mean[:, None]
+        weight = jnp.asarray(x[2]) if len(x) > 2 else jnp.ones(cov.shape[:2], cdtype())
+        if key is None:
+            key = next_key()
+        samples_arr = None if samples is None else jnp.asarray(samples, rdtype())
+        cache_key = ('gb', samples is None, cov.shape, mean.shape,
+                     None if samples_arr is None else samples_arr.shape)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(self._gb_conditioned)
+            self._jit_cache[cache_key] = fn
+        cov_out, mean_out, weight_out, mean_m = fn(cov, mean, weight, key, samples_arr)
+        self.samples = mean_m
+        return [cov_out, mean_out, weight_out]
+
+    def _gb_conditioned(self, cov, mean, weight, key, samples_arr):
         mean = mean.astype(cdtype())
-        weight = jnp.asarray(x[2], cdtype()) if len(x) > 2 else jnp.ones(cov.shape[:2], cdtype())
+        weight = weight.astype(cdtype())
         n = self.nmode
         wires = np.asarray(self.wires)
         idx = np.concatenate([wires, wires + n])
@@ -283,12 +312,10 @@ class GeneralBosonic(Generaldyne):
         weight_new = flat(weight[:, :, None] * jnp.asarray(self.weight_j, cdtype())[None, None])
         cov_new = flat(cov_t)
         mean_new = flat(jnp.broadcast_to(mean_b, mean_b.shape[:2] + (ncomb_j,) + mean_b.shape[3:]))
-        if key is None:
-            key = next_key()
-        if samples is None:
+        if samples_arr is None:
             mean_m = self._sample_bosonic(key, cov_new, mean_new, weight_new)
         else:
-            mean_m = jnp.asarray(samples, rdtype()).reshape(1, -1)
+            mean_m = samples_arr.reshape(1, -1)
         mean_m = mean_m.reshape(-1, mean_m.shape[-1])
         rm = mean_m[:, None, :, None].astype(cdtype())
         mb_im = jnp.imag(mean_new).astype(cov.dtype)
@@ -308,12 +335,11 @@ class GeneralBosonic(Generaldyne):
         cov_a_new = flat(cov_a)
         nt = 2 * n
         eye = jnp.eye(nt, dtype=cov.dtype)
-        cov_out = jnp.broadcast_to(eye, cov_a_new.shape[:2] + (nt, nt)).copy()
+        cov_out = jnp.broadcast_to(eye, cov_a_new.shape[:2] + (nt, nt))
         cov_out = cov_out.at[..., idx_rest[:, None], idx_rest].set(cov_a_new)
         mean_out = jnp.zeros(mean_a_new.shape[:2] + (nt, 1), cdtype())
         mean_out = mean_out.at[..., idx_rest, :].set(mean_a_new)
-        self.samples = mean_m
-        return [cov_out, mean_out, weight_out]
+        return cov_out, mean_out, weight_out, mean_m
 
     __call__ = forward
 
