@@ -316,7 +316,10 @@ class QubitCircuit:
             self.observables.append(op)
             return
         assert isinstance(op, GateOp)
-        if op.npara > 0 and not op.pidx:
+        if op.kind == 'channel':
+            assert self.den_mat, 'Channels act on density matrices; build the circuit with den_mat=True'
+        shared = op.npara > 0 and op.extra.get('_owner') is self and bool(op.pidx)
+        if op.npara > 0 and not shared:
             # assign the slice on the ORIGINAL descriptor so re-adding the
             # same op shares parameters (torch shared-module semantics,
             # reference circuit.py:830 'parameters of gates are shared')
@@ -324,6 +327,7 @@ class QubitCircuit:
             if values is None:
                 values = [float(np.random.rand() * 2 * np.pi) for _ in range(op.npara)]
             op.pidx = self._new_params(np.asarray(values).reshape(-1), encode, op.requires_grad)
+            op.extra['_owner'] = self
         g = _copy.copy(op)
         if wires is not None:
             g.wires = tuple(_flat_wires(wires))
@@ -331,7 +335,9 @@ class QubitCircuit:
         self.operators.append(g)
         for i in g.wires + g.controls:
             self.depth[i] += 1
-        if encode:
+        if shared:
+            pass  # parameters already counted on first registration
+        elif encode:
             self.encoders.append(g)
             self._enc_pidx.extend(g.pidx)
             self.ndata += g.npara

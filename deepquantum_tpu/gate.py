@@ -44,18 +44,53 @@ class GateOp:
     extra: dict = dataclasses.field(default_factory=dict)  # plane/ham/qasm/mbqc metadata
 
     def matrix(self, full_params: jnp.ndarray | None = None) -> jnp.ndarray:
-        """Local unitary (or stacked Kraus set for channels)."""
+        """Local unitary (or stacked Kraus set for channels).
+
+        With ``full_params=None`` a standalone descriptor (class-style API)
+        evaluates on its own ``extra['inputs']`` values."""
         if self.matrix_fn is None:
             # stays numpy: lowered as an inline constant with no device
             # round-trip (complex device->host reads are not universally
             # supported, e.g. over the axon TPU tunnel)
             mat = np.asarray(self.static_matrix, dtype=cdtype())
         else:
-            p = full_params[jnp.array(self.pidx, dtype=jnp.int32)] if self.npara else None
+            if not self.npara:
+                p = None
+            elif full_params is None:
+                p = jnp.asarray(self.extra['inputs'])
+            else:
+                p = full_params[jnp.array(self.pidx, dtype=jnp.int32)]
             mat = self.matrix_fn(p)
         if self.inv:
             mat = mat.conj().T if mat.ndim == 2 else jnp.conj(jnp.swapaxes(mat, -1, -2))
         return mat
+
+    def __call__(self, state):
+        """Apply this gate to a state vector — standalone class-style usage
+        (reference operation.py:110 ``Gate.forward``). Accepts a flat
+        ``(2^n,)`` vector, a ``(2,)*n`` tensor, or a batch ``(b, 2^n)``."""
+        from .ops.apply import evolve_state, evolve_state_controlled
+        from .utils.compat import to_device
+
+        assert self.kind == 'gate', f'{self.name} cannot be applied standalone'
+        state = to_device(state) if isinstance(state, (list, tuple, np.ndarray)) else state
+        n = self.extra.get('nqubit')
+        size = int(np.prod(state.shape))
+        if n is None:
+            n = int(round(np.log2(size)))
+        batch = size // 2 ** n
+        m = self.matrix()
+
+        def apply(s):
+            if self.controls:
+                return evolve_state_controlled(
+                    s, m, n, list(self.wires), list(self.controls)).reshape(-1)
+            return evolve_state(s, m, n, list(self.wires)).reshape(-1)
+
+        fn = jax.jit(apply)
+        if batch > 1:
+            return jax.vmap(fn)(state.reshape(batch, 2 ** n))
+        return fn(state.reshape(-1)).reshape(state.shape)
 
     @property
     def all_wires(self):

@@ -18,7 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import cdtype
 
-__all__ = ['make_mesh', 'ShardedSimulator']
+__all__ = ['make_mesh', 'ShardedSimulator', 'DistributedQubitState',
+           'setup_distributed', 'cleanup_distributed']
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = 'sv', devices=None) -> Mesh:
@@ -93,3 +94,49 @@ class ShardedSimulator:
 
     def probs(self, state_flat: jax.Array) -> jax.Array:
         return self.constrain(jnp.abs(state_flat) ** 2)
+
+
+class DistributedQubitState:
+    """An amplitude-sharded |0...0> statevector container
+    (reference distributed.py:22 DistributedQubitState, which splits 2^n
+    amplitudes across ranks; here the split is a NamedSharding over the mesh
+    and collectives are compiled by GSPMD)."""
+
+    def __init__(self, nqubit: int, mesh: Mesh | None = None, axis_name: str = 'sv') -> None:
+        self.nqubit = nqubit
+        self.mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        self.simulator = ShardedSimulator(nqubit, self.mesh, axis_name)
+        self.state = self.simulator.init_state()
+        self.world_size = self.mesh.size
+        self.rank = 0  # single-controller SPMD: every shard is driven here
+
+    def reset(self) -> None:
+        self.state = self.simulator.init_state()
+
+    @property
+    def amps(self) -> jax.Array:
+        return self.state
+
+
+def setup_distributed(backend: str | None = None, port: str = '29500'):
+    """Initialize multi-host JAX (reference communication.py:9, which wires up
+    ``torch.distributed``; under jax the runtime is discovered from the
+    cluster environment and collectives ride ICI/DCN automatically).
+
+    Returns (rank, world_size, local_device_count). Safe no-op on one host.
+    """
+    import jax as _jax
+    try:
+        _jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+    return (_jax.process_index(), _jax.process_count(), _jax.local_device_count())
+
+
+def cleanup_distributed() -> None:
+    """Tear down multi-host JAX (reference communication.py:39)."""
+    import jax as _jax
+    try:
+        _jax.distributed.shutdown()
+    except (ValueError, RuntimeError):
+        pass

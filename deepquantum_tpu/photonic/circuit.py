@@ -290,16 +290,38 @@ class QumodeCircuit:
             self._basis_table = None
             return
         assert isinstance(op, PhotonicOp)
+        shared = op.npara > 0 and op.extra.get('_owner') is self and bool(op.pidx)
+        if op.npara > 0 and not shared:
+            # standalone class-style descriptor: register its values in the
+            # flat vector ON the original op, so re-adding shares parameters
+            # (torch shared-module semantics, reference circuit.py:830)
+            values = op.extra.get('inputs')
+            if values is None:
+                values = [float(np.random.rand() * 2 * np.pi) for _ in range(op.npara)]
+            op.pidx = self._new_params(list(values), encode,
+                                       op.extra.get('requires_grad', False))
+            op.extra['_owner'] = self
         if wires is not None:
             op = _copy.copy(op)
             op.wires = tuple([wires] if isinstance(wires, int) else wires)
         self.operators.append(op)
-        if encode:
+        if shared:
+            pass  # parameters already counted on first registration
+        elif encode:
             self.encoders.append(op)
             self._enc_pidx.extend(op.pidx)
             self.ndata += op.npara
         else:
             self.npara += op.npara
+        if op.kind == 'delay':
+            wire = op.wires[0]
+            ntau = op.extra['ntau']
+            self._with_delay = True
+            self._ntau_dict[wire].append(ntau)
+            self._nmode_tdm += ntau
+            self._unroll_dict = None
+            self._operators_tdm = None
+            self._measurements_tdm = None
         self._version += 1
         self._cache.clear()
         self._basis_table = None
@@ -323,13 +345,22 @@ class QumodeCircuit:
         return u
 
     def get_symplectic(self, params=None) -> jnp.ndarray:
-        """Global symplectic matrix in xxpp (reference circuit.py:907)."""
+        """Global symplectic matrix in xxpp (reference circuit.py:907).
+
+        TDM circuits report the symplectic of one unrolled step over the
+        concurrent modes (delay loops included)."""
         full = self._full_params(params)
-        s = jnp.eye(2 * self.nmode, dtype=rdtype())
-        for op in self.operators:
+        if self._with_delay:
+            self._prepare_unroll_dict()
+            self._unroll_circuit()
+            operators, n = self._operators_tdm, self._nmode_tdm
+        else:
+            operators, n = self.operators, self.nmode
+        s = jnp.eye(2 * n, dtype=rdtype())
+        for op in operators:
             if op.kind != 'gate':
                 continue
-            s = self._global_xp(op, full)[0] @ s
+            s = self._global_xp(op, full, n)[0] @ s
         return s
 
     def _global_xp(self, op: PhotonicOp, full, nmode: int | None = None):
@@ -349,10 +380,16 @@ class QumodeCircuit:
         """Final mean vector after all ops (reference circuit.py:924)."""
         full = self._full_params(params)
         mean = jnp.asarray(init_mean, rdtype())
-        for op in self.operators:
+        if self._with_delay:
+            self._prepare_unroll_dict()
+            self._unroll_circuit()
+            operators, n = self._operators_tdm, self._nmode_tdm
+        else:
+            operators, n = self.operators, self.nmode
+        for op in operators:
             if op.kind != 'gate':
                 continue
-            s, d = self._global_xp(op, full)
+            s, d = self._global_xp(op, full, n)
             mean = s @ mean + d
         return mean
 

@@ -22,8 +22,20 @@ from ..config import cdtype, rdtype
 __all__ = [
     'ladder_ops', 'xxpp_to_xpxp', 'xpxp_to_xxpp', 'quadrature_to_ladder', 'ladder_to_quadrature',
     'permanent', 'sub_matrix', 'fock_combinations', 'takagi', 'williamson', 'shift_func',
-    'photon_number_mean_var', 'sqrtm_herm',
+    'photon_number_mean_var', 'sqrtm_herm', 'schur_anti_symm_even',
+    'perm_chunksize_dict', 'set_perm_chunksize',
 ]
+
+# Ryser-permanent scan chunk size per matrix dimension (reference
+# photonic/qmath.py perm_chunksize_dict perf knob; here one default covers
+# all n because the masks are derived on-device).
+perm_chunksize_dict: dict = {}
+
+
+def set_perm_chunksize(nmode: int, chunksize: int) -> None:
+    """Override the permanent's scan chunk for a given matrix size
+    (reference photonic/qmath.py set_perm_chunksize)."""
+    perm_chunksize_dict[nmode] = int(chunksize)
 
 
 def ladder_ops(cutoff: int):
@@ -106,6 +118,7 @@ def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
     """
     mat = jnp.asarray(mat, dtype=cdtype())
     n = mat.shape[-1]
+    chunk_size = perm_chunksize_dict.get(n, chunk_size)
     if n == 0:
         return jnp.ones((), dtype=mat.dtype)
     if n == 1:
@@ -172,6 +185,28 @@ def sqrtm_herm(mat):
     w, v = jnp.linalg.eigh(mat)
     w = jnp.clip(w, 0, None)
     return (v * jnp.sqrt(w)[..., None, :]) @ jnp.conj(jnp.swapaxes(v, -1, -2))
+
+
+def schur_anti_symm_even(mat):
+    """Real Schur form of a real antisymmetric even-dimensional matrix:
+    A = O T O^T with O orthogonal and T block-diagonal in 2x2 antisymmetric
+    blocks (reference photonic/qmath.py:412). Built from the eigenbasis of the
+    Hermitian -iA: conjugate eigenpairs (±λ, u, conj(u)) give one real block,
+    with O columns the normalized real/imag parts of u."""
+    mat = jnp.asarray(mat)
+    n = mat.shape[-1]
+    lambd, u = jnp.linalg.eigh(-1j * mat.astype(cdtype()))
+    pos = lambd[n // 2:]                      # ascending: top half is positive
+    mat_t = jnp.zeros_like(mat)
+    idx1 = np.arange(0, n, 2)
+    idx2 = np.arange(1, n, 2)
+    mat_t = mat_t.at[idx1, idx2].set(pos.astype(mat.dtype))
+    mat_t = mat_t.at[idx2, idx1].set(-pos.astype(mat.dtype))
+    mat_o = jnp.zeros_like(mat)
+    mat_o = mat_o.at[:, idx1].set(jnp.real(u[:, n // 2:]).astype(mat.dtype))
+    mat_o = mat_o.at[:, idx2].set(jnp.imag(u[:, n // 2:]).astype(mat.dtype))
+    norm = jnp.linalg.norm(mat_o, axis=0, keepdims=True)
+    return mat_t, mat_o / norm
 
 
 def takagi(a):
