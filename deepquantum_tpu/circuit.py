@@ -169,6 +169,106 @@ class QubitCircuit:
         else:
             self.init_state = QubitState(nqubit=self.nqubit, state=init_state, den_mat=self.den_mat)
 
+    def reset_circuit(self, init_state: Any = 'zeros') -> None:
+        """Clear all operators/parameters and reset the initial state
+        (reference circuit.py:305)."""
+        self.set_init_state(init_state)
+        self.operators = []
+        self.observables = []
+        self.encoders = []
+        self._pvals = []
+        self._enc_pidx = []
+        self._train_mask = []
+        self.state = None
+        self.npara = 0
+        self.ndata = 0
+        self.depth = np.zeros(self.nqubit, dtype=np.int64)
+        self._cut_lst = []
+        self.wires_measure = []
+        self.wires_condition = []
+        self._version += 1
+        self._cache.clear()
+
+    def set_nqubit(self, nqubit: int) -> None:
+        """Resize the circuit (reference operation.py:73); only valid before
+        operators are added."""
+        assert not self.operators, 'set_nqubit before adding operators'
+        self.nqubit = nqubit
+        self.depth = np.zeros(nqubit, dtype=np.int64)
+        self.set_init_state('zeros')
+
+    def set_wires(self, wires) -> None:
+        """Parity setter (reference operation.py:77); circuits themselves act
+        on all qubits, so this only records the attribute."""
+        self.wires = _flat_wires(wires)
+
+    # ------------------------------------------------------ state reshapers
+    def tensor_rep(self, x) -> jnp.ndarray:
+        """State as a (batch, 2, ..., 2) tensor (reference operation.py:45)."""
+        n = self.nqubit
+        x = jnp.asarray(x)
+        return x.reshape([-1] + [2] * (2 * n if self.den_mat else n))
+
+    def vector_rep(self, x) -> jnp.ndarray:
+        """State as a (batch, 2^n, 1) column vector (reference operation.py:57)."""
+        return jnp.asarray(x).reshape(-1, 2 ** self.nqubit, 1)
+
+    def matrix_rep(self, x) -> jnp.ndarray:
+        """State as a (batch, 2^n, 2^n) density matrix (reference operation.py:61)."""
+        return jnp.asarray(x).reshape(-1, 2 ** self.nqubit, 2 ** self.nqubit)
+
+    # ----------------------------------------------- stateful parameter API
+    def encode(self, data) -> None:
+        """Write data into the stored encoder parameter values (stateful
+        parity API, reference circuit.py:265; the functional path passes data
+        to forward() instead). Supports re-uploading."""
+        if data is None:
+            return
+        data = np.asarray(data, dtype=np.float64).reshape(-1)
+        if not self.reupload:
+            assert len(data) >= self.ndata, \
+                'The circuit needs more data, or consider data re-uploading'
+        if self.reupload and len(data) < self.ndata:
+            reps = int(np.ceil(self.ndata / len(data)))
+            data = np.tile(data, reps)
+        for k, pidx in enumerate(self._enc_pidx):
+            self._pvals[pidx] = float(data[k])
+        self._version += 1
+        self._cache.clear()
+
+    def init_para(self) -> None:
+        """Re-randomize all trainable parameters (reference circuit.py:295)."""
+        for i, trainable in enumerate(self._train_mask):
+            if trainable:
+                self._pvals[i] = float(np.random.rand() * 2 * np.pi)
+        self._version += 1
+        self._cache.clear()
+
+    def init_encoder(self) -> None:
+        """Re-randomize the encoder parameters (reference circuit.py:300)."""
+        for pidx in self._enc_pidx:
+            self._pvals[pidx] = float(np.random.rand() * 2 * np.pi)
+        self._version += 1
+        self._cache.clear()
+
+    def transform_cut2move(self) -> 'QubitCircuit':
+        """Rewrite wire cuts into Move operations on an enlarged register
+        (reference circuit.py:729); the result simulates the cut circuit
+        directly (no QPD sampling)."""
+        from .cutting import _IROp, _cut_marker, transform_cut2move
+        ops = [(_IROp(op, self._pvals) if op.kind != 'cut' else _cut_marker(op))
+               for op in self.operators]
+        observables = [(sum(o.wires, []), o.basis) for o in self.observables] or None
+        new_ops, new_obs, new_nq = transform_cut2move(
+            ops, self._cut_lst, self.nqubit, observables, qpd_form=False)
+        cir = QubitCircuit(new_nq, den_mat=self.den_mat, reupload=self.reupload,
+                           shots=self.shots)
+        for op in new_ops:
+            op.add_to(cir)
+        for w, b in (new_obs or []):
+            cir.observable([[x] for x in w], basis=b)
+        return cir
+
     # ------------------------------------------------------------- parameters
     @property
     def params(self) -> jnp.ndarray:

@@ -90,6 +90,9 @@ class _IROp:
         if self.kind == 'barrier':
             cir.barrier(wires)
             return
+        if self.kind == 'move':
+            cir.move(wires[0], wires[1])
+            return
         op = cir.add_gate(self.name, wires, controls or None,
                           self.values if self.values else None,
                           matrix_fn=self.matrix_fn, static_matrix=self.static_matrix,
@@ -134,7 +137,12 @@ def transform_cut2move(ops, cut_lst, nqubit, observables=None, qpd_form: bool = 
 
 
 def _move_ir(w1, w2):
-    raise NotImplementedError('Direct Move simulation: use qpd_form=True for cutting')
+    """A Move descriptor: reset w2 then swap (direct, non-QPD simulation)."""
+    m = _IROp.__new__(_IROp)
+    m.name, m.kind = 'Move', 'move'
+    m.wires, m.controls = [w1, w2], []
+    m.values, m.inv, m.matrix_fn, m.static_matrix, m.npara = [], False, None, None, 0
+    return m
 
 
 def partition_labels(ops, nqubit, ignore=lambda op: False, keep_idle_wires: bool = False):

@@ -231,6 +231,32 @@ class MatrixProductState:
     def center_orthogonalization(self, c: int, dc: int = -1, normalize: bool = False) -> None:
         self.tensors, self.center = center_orthogonalization(self.tensors, self.center, c, dc, normalize)
 
+    def orthogonalize_left2right(self, site: int, dc: int = -1, normalize: bool = False) -> None:
+        """Left-orthogonalize site, absorbing R into site+1 (reference state.py:185)."""
+        self.tensors = orthogonalize_left2right(self.tensors, site, dc, normalize)
+
+    def orthogonalize_right2left(self, site: int, dc: int = -1, normalize: bool = False) -> None:
+        """Right-orthogonalize site, absorbing L into site-1 (reference state.py:219)."""
+        self.tensors = orthogonalize_right2left(self.tensors, site, dc, normalize)
+
+    def orthogonalize_n1_n2(self, n1: int, n2: int, dc: int = -1, normalize: bool = False) -> None:
+        """Sweep orthogonalization from site n1 towards n2 (reference state.py:253)."""
+        if n1 < n2:
+            for site in range(n1, n2):
+                self.tensors = orthogonalize_left2right(self.tensors, site, dc, normalize)
+        else:
+            for site in range(n1, n2, -1):
+                self.tensors = orthogonalize_right2left(self.tensors, site, dc, normalize)
+        self.center = n2
+
+    def normalize_central_tensor(self) -> None:
+        """Normalize the tensor at the orthogonality center (reference state.py:170)."""
+        if self.center < 0:
+            return
+        t = jnp.asarray(self.tensors[self.center])
+        self.tensors = list(self.tensors)
+        self.tensors[self.center] = t / jnp.linalg.norm(t.reshape(-1))
+
     def full_tensor(self) -> jnp.ndarray:
         return full_tensor(self.tensors).reshape([self.qudit] * self.nsite)
 

@@ -141,6 +141,7 @@ class QumodeCircuit:
         self.ndata = 0
         self.state = None
         self._basis_table = None   # list of FockState int tuples for basis mode output
+        self._custom_out_basis = None  # user override via set_fock_basis
         self._version = 0
         self._cache: dict = {}
         self.measurements: list = []
@@ -413,8 +414,117 @@ class QumodeCircuit:
         return np.asarray(state, dtype=np.int64)
 
     def _output_basis(self, in_state: np.ndarray) -> list:
+        if self._custom_out_basis is not None:
+            return list(self._custom_out_basis)
         nphoton = int(np.sum(in_state))
         return [tuple(s) for s in fock_combinations(self.nmode, nphoton, self.cutoff)]
+
+    def set_fock_basis(self, state=None, reset_in_forward: bool = False) -> None:
+        """Override the output Fock basis states (reference circuit.py:604);
+        ``None`` restores the default (all states with the input photon number)."""
+        if state is None:
+            self._custom_out_basis = None
+        else:
+            rows = np.asarray([s.state if isinstance(s, FockState) else s for s in state],
+                              dtype=np.int64).reshape(-1, self.nmode)
+            self._custom_out_basis = [tuple(int(v) for v in r) for r in rows]
+        self._basis_table = None
+        self._version += 1
+        self._cache.clear()
+
+    def get_fock_basis(self) -> np.ndarray:
+        """Current output Fock basis states (reference circuit.py:632)."""
+        if self._custom_out_basis is not None:
+            return np.asarray(self._custom_out_basis, dtype=np.int64)
+        return np.asarray(self._output_basis(self._basis_input(None)), dtype=np.int64)
+
+    def tensor_rep(self, x) -> jnp.ndarray:
+        """State as a (batch, cutoff, ..., cutoff) tensor (reference photonic/operation.py)."""
+        n = self.nmode
+        return jnp.asarray(x).reshape([-1] + [self.cutoff] * (2 * n if self.den_mat else n))
+
+    def encode(self, data) -> None:
+        """Write data into the stored encoder parameter values (stateful
+        parity API, reference circuit.py:265; the functional path passes data
+        to forward() instead)."""
+        if data is None:
+            return
+        data = np.asarray(data, dtype=np.float64).reshape(-1)
+        assert len(data) >= self.ndata, 'The circuit needs more data'
+        for k, pidx in enumerate(self._enc_pidx):
+            self._pvals[pidx] = float(data[k])
+        self._version += 1
+        self._cache.clear()
+
+    def init_para(self) -> None:
+        """Re-randomize all trainable parameters (reference circuit.py:295)."""
+        for i, trainable in enumerate(self._train_mask):
+            if trainable:
+                self._pvals[i] = float(np.random.rand() * 2 * np.pi)
+        self._version += 1
+        self._cache.clear()
+
+    def global_circuit(self, nstep: int) -> 'QumodeCircuit':
+        """Unrolled spatial circuit over nstep TDM time steps
+        (reference circuit.py:762). The initial state is always vacuum;
+        trainable parameters are shared across steps, encoders are fresh per
+        step (matching the reference's copy-vs-deepcopy semantics)."""
+        self._prepare_unroll_dict()
+        nmode = self._nmode_tdm + (nstep - 1) * self.nmode
+        cir = QumodeCircuit(nmode, init_state='vac', cutoff=self.cutoff,
+                            backend=self.backend, basis=self.basis,
+                            den_mat=self.den_mat, detector=self.detector,
+                            name=self.name, mps=self.mps, chi=self.chi)
+
+        def proto_of(op):
+            if op.kind == 'delay':
+                conv = op.extra['convention']
+                if conv == 'bs':
+                    fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.zeros((), rdtype())]))
+                else:
+                    fn_u = lambda p: PG.mzi_unitary(p)
+                g = PhotonicOp(op.name, op.wires, (), op.npara, 'gate',
+                               unitary_fn=fn_u,
+                               xp_fn=lambda p, _f=fn_u: passive_xp_from_unitary(_f(p)),
+                               fock_fn=lambda p, c, _f=fn_u: PG.bs_fock_from_unitary(_f(p), c))
+            else:
+                g = _copy.copy(op)
+                g.pidx = ()
+            g.extra = dict(op.extra)
+            g.extra.pop('_owner', None)
+            g.extra['inputs'] = [self._pvals[j] for j in op.pidx]
+            return g
+
+        protos = {id(op): proto_of(op) for op in self.operators
+                  if op not in self.encoders}
+        for i in range(nstep):
+            ndelay = np.zeros(self.nmode, np.int64)
+            for op in self.operators:
+                encode = op in self.encoders
+                # shared across steps unless an encoder (fresh data per step)
+                g = proto_of(op) if encode else protos[id(op)]
+                if op.kind == 'delay':
+                    wire = op.wires[0]
+                    ndelay[wire] += 1
+                    idx_delay = -int(ndelay[wire]) - 1
+                    ntau = op.extra['ntau']
+                    wire1 = self._unroll_dict[wire][idx_delay][i % ntau]
+                    wire2 = (self._unroll_dict[wire][-1] if i == 0
+                             else self._nmode_tdm + self.nmode * (i - 1) + wire)
+                    wires = [wire1, wire2]
+                else:
+                    wires = ([self._unroll_dict[w][-1] for w in op.wires] if i == 0
+                             else [self._nmode_tdm + self.nmode * (i - 1) + w
+                                   for w in op.wires])
+                cir.add(g, encode=encode, wires=wires)
+            for op_m in self.measurements:
+                m2 = _copy.copy(op_m)
+                m2.nmode = nmode
+                m2.wires = ([self._unroll_dict[w][-1] for w in op_m.wires] if i == 0
+                            else [self._nmode_tdm + self.nmode * (i - 1) + w
+                                  for w in op_m.wires])
+                cir.measurements.append(m2)
+        return cir
 
     def _forward_fock(self, data, state, is_prob, sort, params=None):
         if not self.basis:

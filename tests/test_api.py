@@ -139,3 +139,81 @@ def test_schur_anti_symm_even():
     t, o = np.asarray(t), np.asarray(o)
     np.testing.assert_allclose(o @ t @ o.T, a, atol=1e-8)
     np.testing.assert_allclose(o @ o.T, np.eye(6), atol=1e-8)
+
+
+def test_stateful_parameter_api():
+    cir = dq.QubitCircuit(2)
+    cir.rx(0, encode=True)
+    cir.ry(1)
+    cir.encode(np.array([0.7]))
+    ref = dq.QubitCircuit(2)
+    ref.rx(0, inputs=0.7)
+    ref.ry(1, inputs=float(cir._pvals[1]))
+    np.testing.assert_allclose(np.asarray(cir()).reshape(-1),
+                               np.asarray(ref()).reshape(-1), atol=1e-10)
+    cir.init_para()
+    cir.init_encoder()
+    assert np.isfinite(np.asarray(cir())).all()
+    cir.reset_circuit()
+    assert cir.npara == 0 and not cir.operators
+
+
+def test_state_reshapers():
+    cir = dq.QubitCircuit(2)
+    x = np.ones(4) / 2
+    assert cir.vector_rep(x).shape == (1, 4, 1)
+    assert cir.tensor_rep(x).shape == (1, 2, 2)
+    assert cir.matrix_rep(np.eye(4) / 4).shape == (1, 4, 4)
+
+
+def test_transform_cut2move_simulates_cut():
+    cut = dq.QubitCircuit(2)
+    cut.rx(0, inputs=0.3)
+    cut.cnot(0, 1)
+    cut.cut(1)
+    cut.ry(1, inputs=0.7)
+    cut.observable(1)
+    moved = cut.transform_cut2move()
+    assert moved.nqubit == 3
+    assert any(o.kind == 'move' for o in moved.operators)
+    moved()
+    np.testing.assert_allclose(float(moved.expectation()[0]),
+                               float(cut.expectation()[0]), atol=1e-8)
+
+
+def test_set_fock_basis():
+    from deepquantum_tpu.photonic import QumodeCircuit
+    q = QumodeCircuit(nmode=2, init_state=[1, 1], cutoff=3)
+    q.bs([0, 1], inputs=[0.4, 0.5])
+    q.set_fock_basis([[2, 0], [0, 2]])
+    probs = q(is_prob=True)
+    assert len(probs) == 2
+    np.testing.assert_array_equal(q.get_fock_basis(), [[2, 0], [0, 2]])
+    q.set_fock_basis(None)
+    assert len(q(is_prob=True)) == 3  # |20>, |11>, |02>
+
+
+def test_global_circuit_matches_unrolled_symplectic():
+    from deepquantum_tpu.photonic.tdm import QumodeCircuitTDM
+    t = QumodeCircuitTDM(nmode=1, init_state='vac', cutoff=3)
+    t.s(0, r=0.5)
+    t.delay(0, ntau=1, inputs=(0.4,))
+    g1 = t.global_circuit(1)
+    np.testing.assert_allclose(np.asarray(g1.get_symplectic()),
+                               np.asarray(t.get_symplectic()), atol=1e-10)
+    g3 = t.global_circuit(3)
+    assert g3.nmode == 2 + 2 * 1
+    assert g3.npara == 3  # r, theta, delay coupling shared across steps
+    cov, mean = g3()
+    assert np.isfinite(np.asarray(cov)).all()
+
+
+def test_mps_orthogonalization_methods():
+    mps = dq.MatrixProductState(nsite=4, state=[0, 1, 0, 1], chi=8)
+    full_before = np.asarray(mps.full_tensor()).reshape(-1)
+    mps.orthogonalize_n1_n2(0, 3, -1, True)
+    mps.normalize_central_tensor()
+    err = mps.check_center_orthogonality()
+    assert all(e is None or e < 1e-6 for e in err)
+    full_after = np.asarray(mps.full_tensor()).reshape(-1)
+    np.testing.assert_allclose(np.abs(full_after), np.abs(full_before), atol=1e-8)
