@@ -95,7 +95,19 @@ def bench_reference() -> float | None:
 
 
 def main():
-    ours_ms = bench_ours()
+    # remote TPU attachment paths occasionally kill the compile helper
+    # (HTTP 500 / SIGKILL); a clean retry succeeds
+    last_exc = None
+    for attempt in range(3):
+        try:
+            ours_ms = bench_ours()
+            break
+        except Exception as exc:  # noqa: BLE001
+            last_exc = exc
+            print(f'# bench attempt {attempt + 1} failed, retrying: {exc}', file=sys.stderr)
+            time.sleep(5)
+    else:
+        raise last_exc
     ref_ms = bench_reference()
     vs = (ref_ms / ours_ms) if ref_ms else None
     print(json.dumps({
