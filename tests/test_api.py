@@ -217,3 +217,20 @@ def test_mps_orthogonalization_methods():
     assert all(e is None or e < 1e-6 for e in err)
     full_after = np.asarray(mps.full_tensor()).reshape(-1)
     np.testing.assert_allclose(np.abs(full_after), np.abs(full_before), atol=1e-8)
+
+
+def test_expectation_function_mps():
+    cir = dq.QubitCircuit(4, mps=True, chi=16)
+    cir.h(0)
+    for i in range(3):
+        cir.cnot(i, i + 1)
+    tensors = cir()
+    obs = dq.Observable(4, wires=[0, 3], basis='zz')
+    e_mps = float(api.expectation(list(tensors), obs))
+    sv = dq.QubitCircuit(4)
+    sv.h(0)
+    for i in range(3):
+        sv.cnot(i, i + 1)
+    sv.observable([0, 3], basis='zz')
+    e_sv = float(sv.expectation()[0])
+    np.testing.assert_allclose(e_mps, e_sv, atol=1e-8)
