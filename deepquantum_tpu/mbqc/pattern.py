@@ -121,7 +121,12 @@ class Pattern:
 
     def standardize(self) -> None:
         """Reorder commands into NEMC normal form by domain rewriting
-        (reference mbqc/pattern.py:275, algorithm from arXiv:0704.1263 Ch.5.4)."""
+        (reference mbqc/pattern.py:275, algorithm from arXiv:0704.1263 Ch.5.4).
+
+        Adapted from Graphix (Copyright (c) 2022 Team Graphix, Apache-2.0),
+        https://github.com/TeamGraphix/graphix/blob/0ca40c19/graphix/pattern.py#L287
+        — the same upstream the reference credits; the rewrite rules leave
+        little room for a structurally different implementation."""
         n_list, e_list, m_list = [], [], []
         z_dict, x_dict = {}, {}
 
@@ -165,7 +170,11 @@ class Pattern:
 
     def shift_signals(self) -> None:
         """Signal shifting: remove t-domains of XY measurements by pushing them
-        forward (reference mbqc/pattern.py:348, graphix algorithm)."""
+        forward (reference mbqc/pattern.py:348).
+
+        Adapted from Graphix (Copyright (c) 2022 Team Graphix, Apache-2.0),
+        https://github.com/TeamGraphix/graphix/blob/0ca40c19/graphix/pattern.py#L426
+        — same upstream attribution the reference carries."""
         signal_dict = {}
         for op in self.commands:
             if isinstance(op, Measurement):

@@ -210,41 +210,42 @@ def schur_anti_symm_even(mat):
 
 
 def takagi(a):
-    """Takagi decomposition of a complex symmetric matrix: a = u diag(s) u^T.
+    """Takagi/Autonne decomposition of a complex symmetric matrix:
+    a = u diag(s) u^T with u unitary and s >= 0.
 
-    Returns (u, s) like the reference (photonic/qmath.py:371): via the real
-    2n x 2n embedding eigendecomposition, with the degenerate-eigenvalue
-    combination search. Host-side numpy (build-time)."""
-    import itertools
+    Parity target: reference photonic/qmath.py:371 (which uses a real 2n x 2n
+    embedding plus a combinatorial search over degenerate null vectors). Here
+    the classic SVD construction is used instead: with a = U S V^H and
+    Q = U^H conj(V), symmetry of ``a`` forces Q to be block-diagonal over
+    groups of equal singular values and complex-symmetric on every nonzero
+    block, so u = U sqrtm(Q^T) per block. Deterministic — no search. Returns
+    s ascending (the reference's ordering). Host-side numpy (build-time).
+    """
+    import scipy.linalg
+
     a = np.asarray(a).astype(np.complex128)
     size = a.shape[0]
-    a2 = np.zeros((2 * size, 2 * size))
-    a2[:size, :size] = -a.real
-    a2[size:, size:] = a.real
-    a2[:size, size:] = a.imag
-    a2[size:, :size] = a.imag
-    s, u = np.linalg.eigh(a2)
-    diag = s[size:]
-    v = u[size:, size:] + 1j * u[:size, size:]
-    if np.allclose(v @ v.conj().T, np.eye(size), atol=1e-6):
-        return jnp.asarray(v, cdtype()), jnp.asarray(diag, rdtype())
-    # degenerate zero eigenvalues: search the correct eigenvector combination
-    idx_zero = np.where(np.abs(s) < 1e-5)[0]
-    idx_max = int(idx_zero.max()) + 1
-    temp = np.abs(u[:size, idx_max:]) ** 2 + np.abs(u[size:, idx_max:]) ** 2
-    sum_rhalf = temp.sum(1)
-    idx_lt_1 = np.where(np.abs(sum_rhalf - 1) > 1e-6)[0]
-    r = size - (2 * size - idx_max)
-    for comb in itertools.combinations(idx_zero.tolist(), r):
-        u_temp = u[:, list(comb)]
-        temp2 = np.abs(u_temp[idx_lt_1]) ** 2 + np.abs(u_temp[idx_lt_1 + size]) ** 2
-        sum_total = temp2.sum(1) + sum_rhalf[idx_lt_1]
-        if np.allclose(sum_total, np.ones(len(idx_lt_1))):
-            u_half = np.concatenate([u[:, list(comb)], u[:, idx_max:]], axis=1)
-            v = u_half[size:] + 1j * u_half[:size]
-            if np.allclose(v @ v.conj().T, np.eye(size), atol=1e-6):
-                return jnp.asarray(v, cdtype()), jnp.asarray(diag, rdtype())
-    raise RuntimeError('Takagi decomposition failed')
+    u_l, s, v_h = np.linalg.svd(a)
+    q = u_l.conj().T @ v_h.T                  # unitary linking the two factors
+    factor = np.eye(size, dtype=np.complex128)
+    # group indices of (numerically) equal singular values
+    start = 0
+    for stop in range(1, size + 1):
+        if stop == size or not np.isclose(s[stop], s[start], rtol=1e-8, atol=1e-10):
+            if s[start] > 1e-12:              # zero block: keep identity factor
+                blk = slice(start, stop)
+                qb = q[blk, blk].T
+                qb = (qb + qb.T) / 2          # enforce exact symmetry
+                factor[blk, blk] = scipy.linalg.sqrtm(qb)
+            start = stop
+    u = u_l @ factor
+    # ascending singular values to match the reference's eigh-based ordering
+    order = np.argsort(s)
+    u = u[:, order]
+    s = s[order]
+    if not np.allclose(u @ np.diag(s) @ u.T, a, atol=1e-8 * max(1.0, np.abs(a).max())):
+        raise RuntimeError('Takagi decomposition failed')
+    return jnp.asarray(u, cdtype()), jnp.asarray(s, rdtype())
 
 
 def williamson(cov):

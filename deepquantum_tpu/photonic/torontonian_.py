@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import cdtype
-from .hafnian_ import _subsets_by_size
+from .hafnian_ import subset_index_groups
 
 __all__ = ['torontonian', 'torontonian_batch']
 
@@ -33,7 +33,7 @@ def torontonian(o_mat, gamma=None) -> jnp.ndarray:
         gamma = jnp.asarray(gamma, dtype=o_mat.dtype)
     m = size // 2
     tor = jnp.asarray((-1) ** m, o_mat.dtype)
-    groups = _subsets_by_size(m)
+    groups = subset_index_groups(m)
     for k, y_sets in groups.items():
         idx = np.sort(np.concatenate([y_sets, y_sets + m], axis=1), axis=1)
         submats = o_mat[idx[:, :, None], idx[:, None, :]]
