@@ -71,7 +71,7 @@ ok.append(('bosonic', np.isfinite(s).all(), str(np.round(s, 3))))
 
 # 6. TDM
 t = QumodeCircuitTDM(nmode=1, init_state='vac', cutoff=3)
-t.s(0, r=0.5); t.delay(0, ntau=1, inputs=(0.4,)); t.homodyne_x(0)
+t.s(0, r=0.5); t.delay(0, ntau=1, inputs=(0.4, 0.2)); t.homodyne_x(0)
 t(nstep=3)
 ok.append(('tdm', np.isfinite(np.asarray(t.samples)).all(), str(np.asarray(t.samples).round(3))))
 

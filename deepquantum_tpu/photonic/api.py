@@ -136,7 +136,9 @@ def Delay(inputs=None, nmode=None, wires=0, ntau: int = 1, convention: str = 'bs
     """Delay loop of ntau concurrent modes for TDM circuits
     (reference photonic/gate.py Delay; unrolled by QumodeCircuitTDM)."""
     assert convention in ('bs', 'mzi')
-    npara = 1 if convention == 'bs' else 2
+    # 2 params either way: BS-theta + loop PS-phi, or MZI theta/phi
+    # (reference DelayBS/DelayMZI, photonic/gate.py:2486/2573)
+    npara = 2
     wire = wires if isinstance(wires, int) else wires[0]
     return _standalone(f'Delay_{convention}', [wire], inputs, npara, kind='delay',
                        extra={'ntau': ntau, 'convention': convention},

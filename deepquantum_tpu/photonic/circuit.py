@@ -51,6 +51,36 @@ def _eager() -> bool:
         return True
 
 
+def _delay_subgates(op, wire1: int, wire2: int) -> list:
+    """Expand a delay descriptor into its loop sub-gates on concurrent modes.
+
+    DelayBS (reference photonic/gate.py:2486) couples the delay line into the
+    spatial mode with BeamSplitterTheta — i.e. BS(theta, phi=pi/2) — and then
+    rotates the DELAY mode with PhaseShift(phi); DelayMZI (reference
+    gate.py:2573) is one MZI with ``phi_first=False``. wire1 = delay-line
+    mode, wire2 = spatial mode (reference circuit.py:726-748).
+    """
+    conv = op.extra['convention']
+    if conv == 'bs':
+        def fn_bs(p):
+            return PG.bs_unitary(jnp.stack([p[0], jnp.asarray(np.pi / 2, rdtype())]))
+        bs = PhotonicOp(op.name, [wire1, wire2], op.pidx[:1], 1, 'gate',
+                        unitary_fn=fn_bs,
+                        xp_fn=lambda p, _f=fn_bs: passive_xp_from_unitary(_f(p)),
+                        fock_fn=lambda p, c, _f=fn_bs: PG.bs_fock_from_unitary(_f(p), c))
+        ps = PhotonicOp(op.name + '_ps', [wire1], op.pidx[1:2], 1, 'gate',
+                        unitary_fn=PG.ps_unitary, xp_fn=PG.ps_xp, fock_fn=PG.ps_fock)
+        return [bs, ps]
+
+    def fn_mzi(p):
+        return PG.mzi_unitary(p, phi_first=False)
+    mzi = PhotonicOp(op.name, [wire1, wire2], op.pidx, 2, 'gate',
+                     unitary_fn=fn_mzi,
+                     xp_fn=lambda p, _f=fn_mzi: passive_xp_from_unitary(_f(p)),
+                     fock_fn=lambda p, c, _f=fn_mzi: PG.bs_fock_from_unitary(_f(p), c))
+    return [mzi]
+
+
 class PhotonicOp:
     """One photonic operation in the IR."""
 
@@ -477,23 +507,25 @@ class QumodeCircuit:
                             name=self.name, mps=self.mps, chi=self.chi)
 
         def proto_of(op):
+            """Per-op list of proto gates (delay ops expand to sub-gates) with
+            their host-side parameter values stashed for re-registration."""
             if op.kind == 'delay':
-                conv = op.extra['convention']
-                if conv == 'bs':
-                    fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.zeros((), rdtype())]))
-                else:
-                    fn_u = lambda p: PG.mzi_unitary(p)
-                g = PhotonicOp(op.name, op.wires, (), op.npara, 'gate',
-                               unitary_fn=fn_u,
-                               xp_fn=lambda p, _f=fn_u: passive_xp_from_unitary(_f(p)),
-                               fock_fn=lambda p, c, _f=fn_u: PG.bs_fock_from_unitary(_f(p), c))
-            else:
-                g = _copy.copy(op)
-                g.pidx = ()
+                subs = _delay_subgates(op, 0, 1)
+                out = []
+                for sub in subs:
+                    vals = [self._pvals[j] for j in sub.pidx]
+                    sub.pidx = ()
+                    sub.extra = dict(op.extra)
+                    sub.extra.pop('_owner', None)
+                    sub.extra['inputs'] = vals
+                    out.append(sub)
+                return out
+            g = _copy.copy(op)
+            g.pidx = ()
             g.extra = dict(op.extra)
             g.extra.pop('_owner', None)
             g.extra['inputs'] = [self._pvals[j] for j in op.pidx]
-            return g
+            return [g]
 
         protos = {id(op): proto_of(op) for op in self.operators
                   if op not in self.encoders}
@@ -502,7 +534,7 @@ class QumodeCircuit:
             for op in self.operators:
                 encode = op in self.encoders
                 # shared across steps unless an encoder (fresh data per step)
-                g = proto_of(op) if encode else protos[id(op)]
+                gs = proto_of(op) if encode else protos[id(op)]
                 if op.kind == 'delay':
                     wire = op.wires[0]
                     ndelay[wire] += 1
@@ -511,12 +543,14 @@ class QumodeCircuit:
                     wire1 = self._unroll_dict[wire][idx_delay][i % ntau]
                     wire2 = (self._unroll_dict[wire][-1] if i == 0
                              else self._nmode_tdm + self.nmode * (i - 1) + wire)
-                    wires = [wire1, wire2]
+                    wire_lists = [[wire1, wire2]] + [[wire1]] * (len(gs) - 1)
                 else:
                     wires = ([self._unroll_dict[w][-1] for w in op.wires] if i == 0
                              else [self._nmode_tdm + self.nmode * (i - 1) + w
                                    for w in op.wires])
-                cir.add(g, encode=encode, wires=wires)
+                    wire_lists = [wires]
+                for g, ws in zip(gs, wire_lists):
+                    cir.add(g, encode=encode, wires=ws)
             for op_m in self.measurements:
                 m2 = _copy.copy(op_m)
                 m2.nmode = nmode
@@ -742,7 +776,13 @@ class QumodeCircuit:
                     return one(None, cov_, mean_)
                 if data_.ndim == 1:
                     return one(data_, cov_, mean_)
-                return jax.vmap(one, in_axes=(0, None, None))(data_, cov_, mean_)
+                # batched data: replicate a size-1 state batch, or zip a real
+                # one (reference circuit.py:484-486 in_dims dispatch)
+                if cov_.ndim > 2 and cov_.shape[0] == data_.shape[0] and cov_.shape[0] > 1:
+                    return jax.vmap(one, in_axes=(0, 0, 0))(data_, cov_, mean_)
+                c0 = cov_[0] if cov_.ndim > 2 else cov_
+                m0 = mean_[0] if mean_.ndim > 2 else mean_
+                return jax.vmap(one, in_axes=(0, None, None))(data_, c0, m0)
             fn = jax.jit(run)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
@@ -750,10 +790,15 @@ class QumodeCircuit:
         self._cv_state = [cov, mean] if weight is None else [cov, mean, weight]
         if is_prob:
             self.state = self._forward_cv_prob(cov, mean, weight, detector)
-        elif self.backend == 'bosonic':
-            self.state = [cov, mean, weight]
         else:
-            self.state = [cov, mean]
+            if self._with_delay:
+                # the returned TDM state is already advanced one time step
+                # (reference circuit.py:491-493 shifts before measurement)
+                cov, mean = self._shift_state(cov, mean)
+            if self.backend == 'bosonic':
+                self.state = [cov, mean, weight]
+            else:
+                self.state = [cov, mean]
         return self.state
 
     def _run_cv(self, full, cov, mean):
@@ -1106,11 +1151,15 @@ class QumodeCircuit:
         'bs': BeamSplitterTheta coupling; 'mzi': MZI coupling.
         """
         assert convention in ('bs', 'mzi')
-        npara = 1 if convention == 'bs' else 2
+        # both conventions carry 2 params: BS-theta + loop PS-phi, or MZI
+        # theta/phi (reference DelayBS/DelayMZI, photonic/gate.py:2486/2573)
+        npara = 2
         if inputs is None:
             values = [float(np.random.rand() * 2 * np.pi) for _ in range(npara)]
         else:
             values = list(np.asarray(inputs, np.float64).reshape(-1))
+            assert len(values) == npara, \
+                f'delay expects {npara} params (theta, phi), got {len(values)}'
         pidx = self._new_params(values, encode, inputs is None and not encode)
         wire = wires if isinstance(wires, int) else wires[0]
         op = PhotonicOp(f'Delay_{convention}', [wire], pidx, npara, kind='delay',
@@ -1172,16 +1221,7 @@ class QumodeCircuit:
                     ndelay[wire] += 1
                     idx_delay = -int(ndelay[wire]) - 1
                     wires = [self._unroll_dict[wire][idx_delay][0], self._unroll_dict[wire][-1]]
-                    conv = op.extra['convention']
-                    if conv == 'bs':
-                        fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.zeros((), rdtype())]))
-                    else:
-                        fn_u = lambda p: PG.mzi_unitary(p)
-                    g = PhotonicOp(op.name, wires, op.pidx, op.npara, 'gate',
-                                   unitary_fn=fn_u,
-                                   xp_fn=lambda p, _f=fn_u: passive_xp_from_unitary(_f(p)),
-                                   fock_fn=lambda p, c, _f=fn_u: PG.bs_fock_from_unitary(_f(p), c))
-                    ops.append(g)
+                    ops.extend(_delay_subgates(op, wires[0], wires[1]))
                 else:
                     g = _copy.copy(op)
                     g.wires = tuple(self._unroll_dict[w][-1] for w in op.wires)

@@ -56,16 +56,13 @@ class QumodeCircuitTDM(QumodeCircuit):
             if data is None:
                 self.state = super().forward(state=self.state)
             else:
-                data_i = data[:, i % data.shape[1], :]
-                if data_i.shape[0] == 1:
-                    data_i = data_i[0]
-                self.state = super().forward(data_i, self.state)
+                # keep the batch axis through the forward (reference tdm.py:90)
+                self.state = super().forward(data[:, i % data.shape[1], :], self.state)
             samples.append(self.measure_homodyne(shots=1))
-            # feedback + shift delay lines
-            cov, mean = self.state_measured[0], self.state_measured[1]
-            cov, mean = self._shift_state(cov, mean)
-            self.state = [cov, mean] + list(self.state_measured[2:])
-        self.samples = jnp.stack([jnp.atleast_1d(s) for s in samples], axis=-1)  # (nwire, nstep)
+            # the forward already shifted the delay lines; feed back the
+            # post-measurement state directly (reference tdm.py:92)
+            self.state = list(self.state_measured)
+        self.samples = jnp.stack([jnp.atleast_1d(s) for s in samples], axis=-1)  # (batch, nwire, nstep) squeezed
         return self.state
 
     def get_samples(self, wires=None):

@@ -119,11 +119,11 @@ def test_photonic_delay_class_matches_sugar():
     from deepquantum_tpu.photonic.tdm import QumodeCircuitTDM
     t1 = QumodeCircuitTDM(nmode=1, init_state='vac', cutoff=3)
     t1.s(0, r=0.5)
-    t1.add(pa.DelayBS(inputs=[0.4], wires=0, ntau=1))
+    t1.add(pa.DelayBS(inputs=[0.4, 0.2], wires=0, ntau=1))
     t1.homodyne_x(0)
     t2 = QumodeCircuitTDM(nmode=1, init_state='vac', cutoff=3)
     t2.s(0, r=0.5)
-    t2.delay(0, ntau=1, inputs=(0.4,))
+    t2.delay(0, ntau=1, inputs=(0.4, 0.2))
     t2.homodyne_x(0)
     s1 = t1.get_symplectic()
     s2 = t2.get_symplectic()
@@ -197,13 +197,13 @@ def test_global_circuit_matches_unrolled_symplectic():
     from deepquantum_tpu.photonic.tdm import QumodeCircuitTDM
     t = QumodeCircuitTDM(nmode=1, init_state='vac', cutoff=3)
     t.s(0, r=0.5)
-    t.delay(0, ntau=1, inputs=(0.4,))
+    t.delay(0, ntau=1, inputs=(0.4, 0.2))
     g1 = t.global_circuit(1)
     np.testing.assert_allclose(np.asarray(g1.get_symplectic()),
                                np.asarray(t.get_symplectic()), atol=1e-10)
     g3 = t.global_circuit(3)
     assert g3.nmode == 2 + 2 * 1
-    assert g3.npara == 3  # r, theta, delay coupling shared across steps
+    assert g3.npara == 4  # r + delay theta/phi shared across steps
     cov, mean = g3()
     assert np.isfinite(np.asarray(cov)).all()
 
