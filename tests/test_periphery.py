@@ -130,3 +130,75 @@ def test_save_load_params(tmp_path):
     load_params(cir, fn)
     e2 = float(cir.expectation()[0])
     np.testing.assert_allclose(e1, e2, atol=1e-12)
+
+
+def test_qasm3_gate_definitions():
+    """Custom gate definitions with params, nesting, and modifiers
+    (reference qasm3.py:159-472)."""
+    qasm = '''
+    OPENQASM 3.0;
+    include "stdgates.inc";
+    qubit[3] q;
+    gate my_rot(theta, phi) a { rx(theta) a; rz(phi) a; }
+    gate bell a, b { h a; cx a, b; }
+    gate nested(ang) a, b { my_rot(ang, ang/2) a; bell a, b; }
+    my_rot(0.3, 0.7) q[0];
+    bell q[0], q[1];
+    ctrl @ my_rot(0.5, 0.1) q[2], q[1];
+    inv @ bell q[1], q[2];
+    nested(pi/4) q[0], q[2];
+    pow(2) @ my_rot(0.2, 0.4) q[1];
+    '''
+    cir = qasm3_to_cir(qasm)
+    # same program written directly
+    ref = dq.QubitCircuit(3)
+    ref.rx(0, inputs=0.3)
+    ref.rz(0, inputs=0.7)
+    ref.h(0)
+    ref.cnot(0, 1)
+    ref.rx(1, inputs=0.5, controls=[2])
+    ref.rz(1, inputs=0.1, controls=[2])
+    ref.cnot(1, 2)      # inv bell: reversed, both self-inverse
+    ref.h(1)
+    ref.rx(0, inputs=np.pi / 4)
+    ref.rz(0, inputs=np.pi / 8)
+    ref.h(0)
+    ref.cnot(0, 2)
+    ref.rx(1, inputs=0.2)
+    ref.rz(1, inputs=0.4)
+    ref.rx(1, inputs=0.2)
+    ref.rz(1, inputs=0.4)
+    np.testing.assert_allclose(np.asarray(cir.get_unitary()),
+                               np.asarray(ref.get_unitary()), atol=1e-8)
+
+
+def test_qasm3_pow_noninteger():
+    """Non-integer pow lowers to an eigendecomposed arbitrary gate."""
+    qasm = '''
+    OPENQASM 3.0;
+    qubit[1] q;
+    pow(0.5) @ x q[0];
+    pow(0.5) @ x q[0];
+    '''
+    cir = qasm3_to_cir(qasm)
+    x = np.array([[0, 1], [1, 0]], complex)
+    np.testing.assert_allclose(np.asarray(cir.get_unitary()), x, atol=1e-8)
+
+
+def test_qasm3_roundtrip_ansatz():
+    """Export -> import -> statevector parity for QFT / QPE / HHL
+    (VERDICT round-1 item 8)."""
+    from deepquantum_tpu.models import (
+        QuantumFourierTransform, QuantumPhaseEstimationSingleQubit, HHL,
+    )
+    mat = np.array([[2.0, 1.0], [1.0, 2.0]])
+    circuits = [
+        QuantumFourierTransform(4),
+        QuantumPhaseEstimationSingleQubit(3, 0.375),
+        HHL(2, mat),
+    ]
+    for cir in circuits:
+        cir2 = qasm3_to_cir(cir.qasm3())
+        s1 = np.asarray(cir()).reshape(-1)
+        s2 = np.asarray(cir2()).reshape(-1)
+        np.testing.assert_allclose(s2, s1, atol=1e-6)
