@@ -33,6 +33,7 @@ from .qmath import (
     fock_combinations,
     ladder_to_quadrature,
     permanent,
+    permanent_batch,
     photon_number_mean_var,
     quadrature_to_ladder,
     sub_matrix,
@@ -617,7 +618,7 @@ class QumodeCircuit:
                     full = self._full_params(params_, d, didx)
                     u = self._get_unitary_traced(full)
                     sub = u[row_idx[:, :, None], col_idx[None, None, :]]  # (nout, k, k)
-                    perms = jax.vmap(permanent)(sub)
+                    perms = permanent_batch(sub)   # one Pallas grid on TPU
                     return perms / jnp.asarray(norms, cdtype())
                 if data_ is None:
                     return one(None)

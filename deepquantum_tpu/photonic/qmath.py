@@ -21,7 +21,7 @@ from ..config import cdtype, rdtype
 
 __all__ = [
     'ladder_ops', 'xxpp_to_xpxp', 'xpxp_to_xxpp', 'quadrature_to_ladder', 'ladder_to_quadrature',
-    'permanent', 'sub_matrix', 'fock_combinations', 'takagi', 'williamson', 'shift_func',
+    'permanent', 'permanent_batch', 'sub_matrix', 'fock_combinations', 'takagi', 'williamson', 'shift_func',
     'photon_number_mean_var', 'sqrtm_herm', 'schur_anti_symm_even',
     'perm_chunksize_dict', 'set_perm_chunksize',
 ]
@@ -108,13 +108,24 @@ def ladder_to_quadrature(tensor, symplectic: bool = False):
     return jnp.real(omega @ tensor) * config.HBAR ** 0.5 / (2 * config.KAPPA)
 
 
+def _pallas_permanent_ok(n: int) -> bool:
+    """The df32 Pallas kernel is the default TPU path: plain f32 Ryser loses
+    to cancellation beyond ~12 modes, and c128 does not exist on TPU."""
+    return (4 <= n <= 26 and config.cdtype() == jnp.complex64
+            and jax.default_backend() == 'tpu')
+
+
 def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
     """Permanent via the Ryser formula (reference photonic/qmath.py:75-146).
 
     perm(A) = (-1)^n sum_{S subseteq [n]} (-1)^{|S|} prod_j (sum_{i in S} A_ij)
-    vectorized: subset masks @ A on the MXU, scanned over chunks. The masks
-    are derived on-device from the subset index bits (no 2^n x n constant —
-    at n=22 that constant would be hundreds of MB of program).
+
+    On TPU this routes to the double-single Pallas kernel
+    (ops/pallas_kernels.py) — one VMEM-resident launch, ~2^-48 per-term
+    arithmetic, validated at <=5e-8 relative against f64 for n up to 22.
+    Elsewhere it is a vectorized scan: subset masks @ A on the MXU, derived
+    on-device from the subset index bits (no 2^n x n constant — at n=22 that
+    constant would be hundreds of MB of program).
     """
     mat = jnp.asarray(mat, dtype=cdtype())
     n = mat.shape[-1]
@@ -129,6 +140,9 @@ def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
         return (mat[0, 0] * mat[1, 1] * mat[2, 2] + mat[0, 1] * mat[1, 2] * mat[2, 0]
                 + mat[0, 2] * mat[1, 0] * mat[2, 1] + mat[0, 0] * mat[1, 2] * mat[2, 1]
                 + mat[0, 1] * mat[1, 0] * mat[2, 2] + mat[0, 2] * mat[1, 1] * mat[2, 0])
+    if _pallas_permanent_ok(n):
+        from ..ops.pallas_kernels import permanent_pallas_batch
+        return permanent_pallas_batch(mat[None])[0]
     chunk = min(chunk_size, 1 << n)
     nchunk = (1 << n) // chunk
     local = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -144,6 +158,17 @@ def permanent(mat, chunk_size: int = 1 << 16) -> jnp.ndarray:
     total, _ = jax.lax.scan(body, jnp.zeros((), mat.dtype), jnp.arange(nchunk, dtype=jnp.int32))
     sign_n = 1 if n % 2 == 0 else -1
     return sign_n * total
+
+
+def permanent_batch(mats, chunk_size: int = 1 << 16) -> jnp.ndarray:
+    """Permanents of a (B, n, n) stack: one Pallas grid launch on TPU
+    (program b sweeps matrix b), vmapped scan elsewhere."""
+    mats = jnp.asarray(mats, dtype=cdtype())
+    n = mats.shape[-1]
+    if _pallas_permanent_ok(n):
+        from ..ops.pallas_kernels import permanent_pallas_batch
+        return permanent_pallas_batch(mats)
+    return jax.vmap(lambda m: permanent(m, chunk_size))(mats)
 
 
 def sub_matrix(u, input_state, output_state):

@@ -314,20 +314,34 @@ def test_fock_mps_vs_tensor():
     np.testing.assert_allclose(mps_dense * (dense[k] / mps_dense[k]), dense, atol=1e-6)
 
 
-def test_permanent_pallas_kernel():
-    """Pallas VMEM-sweep kernel agrees with the XLA scan path (f32 accumulation)."""
-    import jax
-    if jax.devices()[0].platform not in ('tpu', 'axon'):
-        import pytest
-        pytest.skip('Pallas TPU kernel needs TPU hardware')
-    from deepquantum_tpu.ops.pallas_kernels import permanent_pallas
-    rng = np.random.default_rng(4)
-    m = (rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))) * 0.5
-    v_jnp = complex(np.asarray(jnp.real(permanent(jnp.asarray(m)))) +
-                    1j * np.asarray(jnp.imag(permanent(jnp.asarray(m)))))
-    v_pal = permanent_pallas(jnp.asarray(m, jnp.complex64))
-    v_pal = complex(float(np.asarray(jnp.real(v_pal))), float(np.asarray(jnp.imag(v_pal))))
-    assert abs(v_pal - v_jnp) / abs(v_jnp) < 1e-3
+def _haar(n, seed):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    q, r = np.linalg.qr(z)
+    return q * (np.diag(r) / np.abs(np.diag(r)))
+
+
+def test_permanent_pallas_df32_accuracy():
+    """The double-single Pallas kernel matches the f64 permanent far below the
+    reference 1e-6 tolerance — where plain f32 Ryser fails by 1e-3 at n=14
+    (measured on-chip at n in {14,18,20,22}: <=5e-8; this interpreter-mode run
+    checks the identical kernel arithmetic on CPU)."""
+    from deepquantum_tpu.ops.pallas_kernels import permanent_pallas, permanent_pallas_batch
+    for n in (6, 10, 13):
+        u = np.asarray(_haar(n, n), np.complex64).astype(np.complex128)
+        p64 = complex(np.asarray(jnp.real(permanent(jnp.asarray(u, jnp.complex128)))),
+                      np.asarray(jnp.imag(permanent(jnp.asarray(u, jnp.complex128)))))
+        p = permanent_pallas(jnp.asarray(u, jnp.complex64), interpret=True)
+        p = complex(float(np.asarray(jnp.real(p))), float(np.asarray(jnp.imag(p))))
+        assert abs(p - p64) / abs(p64) < 1e-8, f'n={n}: {abs(p - p64) / abs(p64)}'
+    # batched launch: one grid, distinct matrices
+    mats = np.stack([np.asarray(_haar(8, s), np.complex64) for s in range(4)])
+    pb = permanent_pallas_batch(jnp.asarray(mats), interpret=True)
+    for s in range(4):
+        p64 = complex(np.asarray(jnp.real(permanent(jnp.asarray(mats[s], jnp.complex128)))),
+                      np.asarray(jnp.imag(permanent(jnp.asarray(mats[s], jnp.complex128)))))
+        got = complex(float(np.asarray(jnp.real(pb[s]))), float(np.asarray(jnp.imag(pb[s]))))
+        assert abs(got - p64) / abs(p64) < 1e-8
 
 
 def test_batched_basis_input():
