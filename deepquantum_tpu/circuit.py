@@ -101,6 +101,22 @@ def _eager() -> bool:
         return True
 
 
+def _symbolic_init_state(nqubit: int, kind: str, den_mat: bool):
+    """Traced construction of the string init states (no dense constants)."""
+    dim = 2 ** nqubit
+    if kind == 'zeros':
+        s = jnp.zeros((dim, 1), cdtype()).at[0, 0].set(1)
+    elif kind == 'equal':
+        s = jnp.full((dim, 1), dim ** -0.5, cdtype())
+    elif kind in ('entangle', 'GHZ', 'ghz'):
+        s = jnp.zeros((dim, 1), cdtype()).at[0, 0].set(2 ** -0.5).at[-1, 0].set(2 ** -0.5)
+    else:
+        raise ValueError(f'Unknown init state: {kind}')
+    if den_mat:
+        s = s @ s.conj().T
+    return s
+
+
 
 
 class QubitCircuit:
@@ -447,70 +463,115 @@ class QubitCircuit:
         self._cache.clear()
 
     # ---------------------------------------------------------------- fusion
-    def _fused_plan(self):
-        """Trace-time gate fusion: fold runs of uncontrolled single-qubit gates
-        into each other and into the next multi-qubit gate touching the wire.
+    #: max combined wire support of one fused gate group. Each group costs one
+    #: full read+write pass over the state; at K wires the pass does 2^K MACs
+    #: per amplitude, still far below the v5e flops:bytes roofline ratio, so a
+    #: larger K monotonically cuts HBM traffic until trace-time kron cost bites.
+    fuse_max_support: int = 3
 
-        Gates on disjoint wires commute, so per-wire pending 1q products can be
-        deferred until a multi-qubit gate (or the end of the circuit) consumes
-        them. Each fused group costs ONE state pass — on layered ansatze this
-        cuts HBM traffic ~4x vs per-gate application.
+    def _fused_plan(self):
+        """Trace-time gate fusion: greedy wire-support grouping.
+
+        Consecutive gates merge into a group while their combined wire support
+        stays within ``fuse_max_support`` (controlled gates included — controls
+        embed block-diagonally). Groups touching disjoint wires commute, so a
+        group only closes when a later op needs more support than K allows or
+        a non-unitary op touches its wires. Each group costs ONE state pass:
+        on the layered rx/rz/rx + cnot-ring ansatz, K=3 replaces ~4n gate
+        passes per layer with ~n/2 group passes.
         """
-        key = ('fuseplan', self._version)
+        key = ('fuseplan', self._version, self.fuse_max_support)
         plan = self._cache.get(key)
         if plan is not None:
             return plan
-        plan = []       # entries: ('op', op) | ('fused1q', wire, [ops]) | ('fold', op, {wire: [ops]})
-        pending: dict[int, list] = {}
+        K = max(1, int(self.fuse_max_support))
+        plan = []       # entries: ('op', op) | ('group', [ops], wires_tuple)
+        groups: list[dict] = []            # open groups, creation order
+        owner: dict[int, dict] = {}        # wire -> open group
 
-        def flush(wire):
-            ops1q = pending.pop(wire, None)
-            if ops1q:
-                plan.append(('fused1q', wire, ops1q))
+        def close(group):
+            if group.get('closed'):
+                return
+            group['closed'] = True
+            for w in group['wires']:
+                if owner.get(w) is group:
+                    del owner[w]
+            if len(group['ops']) == 1:
+                op = group['ops'][0]
+                if not op.controls and len(op.wires) == len(group['wires']):
+                    plan.append(('op', op))
+                    return
+            plan.append(('group', group['ops'], tuple(sorted(group['wires']))))
 
         for op in self.operators:
             if op.kind in ('barrier', 'cut'):
                 continue
-            if (op.kind == 'gate' and len(op.wires) == 1 and not op.controls
-                    and not op.condition):
-                pending.setdefault(op.wires[0], []).append(op)
-                continue
-            if op.kind == 'gate' and not op.condition and len(op.wires) <= 2 and not op.controls:
-                # fold pending 1q runs on this gate's wires into its matrix
-                folds = {w: pending.pop(w) for w in op.wires if w in pending}
-                plan.append(('fold', op, folds))
-                continue
-            for w in list(op.wires) + list(op.controls):
-                flush(w)
-            plan.append(('op', op))
-        for w in sorted(pending):
-            flush(w)
+            fusable = op.kind == 'gate' and not op.condition
+            wires = set(op.wires) | set(op.controls)
+            touching = []
+            for w in wires:
+                g = owner.get(w)
+                if g is not None and g not in touching:
+                    touching.append(g)
+            if fusable:
+                union = set(wires)
+                for g in touching:
+                    union |= g['wires']
+                if len(union) <= K:
+                    if touching:
+                        tgt = touching[0]
+                        for g in touching[1:]:
+                            # groups are wire-disjoint: op order between them
+                            # is free; keep creation order
+                            tgt['ops'].extend(g['ops'])
+                            tgt['wires'] |= g['wires']
+                            g['closed'] = True
+                            groups.remove(g)
+                    else:
+                        tgt = {'ops': [], 'wires': set(), 'closed': False}
+                        groups.append(tgt)
+                    tgt['ops'].append(op)
+                    tgt['wires'] = set(union)
+                    for w in tgt['wires']:
+                        owner[w] = tgt
+                    continue
+            # close whatever this op touches, in creation order
+            for g in [g for g in groups if g in touching]:
+                close(g)
+            groups = [g for g in groups if not g.get('closed')]
+            if fusable:
+                g = {'ops': [op], 'wires': set(wires), 'closed': False}
+                groups.append(g)
+                for w in g['wires']:
+                    owner[w] = g
+            else:
+                plan.append(('op', op))
+        for g in groups:
+            close(g)
         self._cache[key] = plan
         return plan
 
     def _fused_matrix(self, entry, full_params):
-        """Matrix + wires for one fused plan entry."""
-        kind = entry[0]
-        if kind == 'fused1q':
-            _, wire, ops1q = entry
-            mat = jnp.eye(2, dtype=cdtype())
-            for op in ops1q:
-                mat = jnp.asarray(op.matrix(full_params), cdtype()) @ mat
-            return mat, (wire,)
-        _, op, folds = entry
-        mat = jnp.asarray(op.matrix(full_params), cdtype())
-        if folds:
-            pre = []
-            for w in op.wires:
-                m = jnp.eye(2, dtype=cdtype())
-                for g in folds.get(w, []):
-                    m = jnp.asarray(g.matrix(full_params), cdtype()) @ m
-                pre.append(m)
-            if len(op.wires) == 1:
-                mat = mat @ pre[0]
-            else:
-                mat = mat @ jnp.kron(pre[0], pre[1])
-        return mat, op.wires
+        """Compose one group's 2^k unitary (k = |group wires|)."""
+        from .ops.apply import controlled_matrix, permute_matrix_wires
+        _, ops, wires = entry
+        k = len(wires)
+        pos = {w: i for i, w in enumerate(wires)}
+        mat = None
+        for op in ops:
+            m = controlled_matrix(jnp.asarray(op.matrix(full_params), cdtype()),
+                                  len(op.controls))
+            aw = list(op.controls) + list(op.wires)
+            pad = k - len(aw)
+            if pad:
+                m = jnp.kron(m, jnp.eye(1 << pad, dtype=cdtype()))
+            # current wire order of m: aw + leftover group wires
+            order = aw + [w for w in wires if w not in aw]
+            # permute so m's axes follow the group's sorted wire list
+            perm = [order.index(w) for w in wires]
+            m = permute_matrix_wires(m, perm)
+            mat = m if mat is None else m @ mat
+        return mat, wires
 
     # -------------------------------------------------------------- simulate
     def _apply_op(self, op: GateOp, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -593,7 +654,12 @@ class QubitCircuit:
         if state is None:
             state = self.init_state
         if isinstance(state, QubitState):
-            state = state.state
+            if state.kind is not None and not _eager():
+                # under an outer trace: rebuild the init state symbolically so
+                # no 2^n dense constant lands in the program (33 MB at n=22)
+                state = _symbolic_init_state(self.nqubit, state.kind, self.den_mat)
+            else:
+                state = state.state
         if isinstance(state, np.ndarray):
             state = state.astype(cdtype())
         elif not isinstance(state, jax.Array):

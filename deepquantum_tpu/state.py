@@ -51,6 +51,10 @@ class QubitState:
     def __init__(self, nqubit: int = 1, state: Any = 'zeros', den_mat: bool = False) -> None:
         self.nqubit = nqubit
         self.den_mat = den_mat
+        # remember symbolic init kinds so traced programs can rebuild the
+        # state on-device instead of inlining a 2^n dense constant (a 'zeros'
+        # state at n=22 is a 33 MB MLIR constant otherwise)
+        self.kind = state if isinstance(state, str) else None
         dim = 2 ** nqubit
         if isinstance(state, str):
             s = np.zeros((dim, 1), dtype=cdtype())
