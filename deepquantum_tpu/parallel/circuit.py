@@ -65,11 +65,16 @@ class DistributedQubitCircuit(QubitCircuit):
             outs = [make_adjoint_expectation(self, i)(p)
                     for i in range(len(self.observables))]
             return jnp.stack(outs, axis=-1)
-        key = ('dexp', self._version, None if data is None else jnp.shape(data))
+        if state is not None:
+            state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1),
+                                   self.sim.sharding)
+        key = ('dexp', self._version, None if data is None else jnp.shape(data),
+               state is None)
         fn = self._cache.get(key)
         if fn is None:
-            def run(params_, data_):
-                state_ = self.sim.init_state_traced()
+            def run(params_, data_, state_):
+                if state_ is None:
+                    state_ = self.sim.init_state_traced()
                 if data_ is None:
                     full = self._full_params(params_)
                 else:
@@ -79,7 +84,7 @@ class DistributedQubitCircuit(QubitCircuit):
             fn = jax.jit(run)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        return fn(p, data)
+        return fn(p, data, state)
 
     def measure(self, shots: int | None = None, with_prob: bool = False, wires=None, key=None,
                 block_size: int = 2 ** 24):

@@ -114,22 +114,46 @@ class ShardMapSimulator:
         from ..utils.compat import to_device
         return jax.device_put(to_device(zeros), self.sharding)
 
-    def run(self, circuit, params=None, state=None) -> jax.Array:
-        """Execute a QubitCircuit IR under shard_map."""
-        from jax.experimental.shard_map import shard_map
+    def _prepare_state(self, state):
         if state is None:
-            state = self.init_state()
-        full = circuit._full_params(params)
-        gates = []
-        for entry in circuit._fused_plan():
-            if entry[0] == 'op':
-                op = entry[1]
-                assert op.kind == 'gate', 'shard_map engine supports unitary gates'
-                mat = controlled_matrix(jnp.asarray(op.matrix(full), cdtype()), len(op.controls))
-                gates.append((mat, list(op.controls) + list(op.wires)))
-            else:
-                mat, wires = circuit._fused_matrix(entry, full)
-                gates.append((mat, list(wires)))
+            return self.init_state()
+        from ..utils.compat import to_device
+        arr = to_device(np.asarray(state, dtype=cdtype()).reshape(-1)) \
+            if isinstance(state, np.ndarray) else jnp.asarray(state, cdtype()).reshape(-1)
+        return jax.device_put(arr, self.sharding)
+
+    def _gate_list(self, circuit, full):
+        # a k-wire gate needs k free local slots in the worst case (all
+        # targets global), so cap the fusion support at nlocal (Alg.10's
+        # applicability condition, reference distribured swap-in remap)
+        old_k = circuit.fuse_max_support
+        circuit.fuse_max_support = max(1, min(old_k, self.nlocal))
+        try:
+            gates = []
+            for entry in circuit._fused_plan():
+                if entry[0] == 'op':
+                    op = entry[1]
+                    assert op.kind == 'gate', 'shard_map engine supports unitary gates'
+                    mat = controlled_matrix(jnp.asarray(op.matrix(full), cdtype()),
+                                            len(op.controls))
+                    gates.append((mat, list(op.controls) + list(op.wires)))
+                else:
+                    mat, wires = circuit._fused_matrix(entry, full)
+                    gates.append((mat, list(wires)))
+            return gates
+        finally:
+            circuit.fuse_max_support = old_k
+
+    def _full(self, circuit, params, data):
+        didx = None if data is None else circuit._data_indices(np.shape(data)[-1])
+        return circuit._full_params(params, data, didx)
+
+    def run(self, circuit, params=None, data=None, state=None) -> jax.Array:
+        """Execute a QubitCircuit IR under shard_map (data encoding and a
+        custom initial state supported, matching DistributedQubitCircuit)."""
+        from jax.experimental.shard_map import shard_map
+        state = self._prepare_state(state)
+        gates = self._gate_list(circuit, self._full(circuit, params, data))
 
         def program(local):
             for mat, wires in gates:
@@ -140,20 +164,12 @@ class ShardMapSimulator:
                        out_specs=P(self.axis_name))
         return jax.jit(fn)(state)
 
-    def expectation(self, circuit, params=None) -> jnp.ndarray:
+    def expectation(self, circuit, params=None, data=None, state=None) -> jnp.ndarray:
         """<psi|O|psi> per observable with one psum (Alg. inner_product_dist)."""
         from jax.experimental.shard_map import shard_map
         from ..circuit import _PAULI_FNS
-        full = circuit._full_params(params)
-        gates = []
-        for entry in circuit._fused_plan():
-            if entry[0] == 'op':
-                op = entry[1]
-                mat = controlled_matrix(jnp.asarray(op.matrix(full), cdtype()), len(op.controls))
-                gates.append((mat, list(op.controls) + list(op.wires)))
-            else:
-                mat, wires = circuit._fused_matrix(entry, full)
-                gates.append((mat, list(wires)))
+        state = self._prepare_state(state)
+        gates = self._gate_list(circuit, self._full(circuit, params, data))
         obs_gates = []
         for obs in circuit.observables:
             obs_gates.append([(jnp.asarray(_PAULI_FNS[b](), cdtype()), [w[0]])
@@ -173,4 +189,48 @@ class ShardMapSimulator:
 
         fn = shard_map(program, mesh=self.mesh, in_specs=P(self.axis_name),
                        out_specs=P())
-        return jax.jit(fn)(self.init_state())
+        return jax.jit(fn)(state)
+
+    def measure(self, circuit, shots: int = 1024, params=None, data=None,
+                state=None, wires=None, key=None) -> dict:
+        """Two-level hierarchical sampling (reference measure_dist,
+        distributed.py:205-285): per-shard probability masses reduce with one
+        psum, a host multinomial splits shots across shards, and each shard
+        draws its share locally from its own amplitudes. Returns
+        {bitstring: count} like QubitCircuit.measure."""
+        from collections import Counter
+        from jax.experimental.shard_map import shard_map
+        from ..ops.qmath import next_key
+        if key is None:
+            key = next_key()
+        psi = self.run(circuit, params=params, data=data, state=state)
+
+        def shard_mass(local):
+            return jnp.sum(jnp.abs(local) ** 2)[None]
+
+        masses = jax.jit(shard_map(shard_mass, mesh=self.mesh,
+                                   in_specs=P(self.axis_name),
+                                   out_specs=P(self.axis_name)))(psi)
+        masses = np.asarray(jnp.real(masses), np.float64)
+        masses = np.maximum(masses, 0)
+        masses /= masses.sum()
+        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+        per_shard = rng.multinomial(shots, masses)
+
+        shard_len = (1 << self.nqubit) // self.ndev
+        wires = list(range(self.nqubit)) if wires is None else (
+            [wires] if isinstance(wires, int) else sorted(wires))
+        counts: Counter = Counter()
+        # per-shard categorical draw on the local probabilities (host drives
+        # the loop; each shard's draw is one small device program)
+        for r, k in enumerate(per_shard):
+            if k == 0:
+                continue
+            local = jax.lax.dynamic_slice(psi, (r * shard_len,), (shard_len,))
+            logp = jnp.log(jnp.maximum(jnp.abs(local) ** 2, 1e-38))
+            draws = jax.random.categorical(jax.random.fold_in(key, r), logp, shape=(int(k),))
+            for d in np.asarray(draws):
+                g = r * shard_len + int(d)
+                bits = format(g, f'0{self.nqubit}b')
+                counts[''.join(bits[w] for w in wires)] += 1
+        return dict(counts)
