@@ -16,6 +16,8 @@ by the circuit sugar.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .channel import CHANNEL_REGISTRY
@@ -35,6 +37,21 @@ __all__ = [
     'XLayer', 'YLayer', 'ZLayer', 'HLayer', 'RxLayer', 'RyLayer', 'RzLayer',
     'U3Layer', 'CnotLayer', 'CnotRing', 'Observable', 'expectation',
 ]
+
+
+def _warn_ignored(**flags):
+    """Reference users should hear (once per call site) that a simulation flag
+    has different semantics here instead of silently diverging (round-1
+    review, Weak #7)."""
+    for k, v in flags.items():
+        if v:
+            warnings.warn(
+                f'{k}={v!r} is accepted for reference-API parity but has no '
+                'per-gate effect in deepquantum_tpu: density-matrix/tensor '
+                'representation is a circuit-level property, and parameter '
+                'noise is sampled when the gate is added to a circuit, not '
+                'per forward. See COMPONENTS.md.',
+                UserWarning, stacklevel=3)
 
 
 def _tuple_wires(wires, default=None):
@@ -82,6 +99,7 @@ def _gate_factory(name: str, default_nwires: int = 1):
     def factory(inputs=None, nqubit=None, wires=None, controls=None,
                 condition=False, den_mat=False, tsr_mode=False,
                 requires_grad=None, noise=False, mu=0, sigma=0.1):
+        _warn_ignored(den_mat=den_mat, tsr_mode=tsr_mode, noise=noise)
         wires = _tuple_wires(wires, default=list(range(default_nwires)))
         nq = nqubit if nqubit is not None else max(
             list(wires) + ([controls] if isinstance(controls, int) else list(controls or []))) + 1

@@ -60,6 +60,14 @@ def _registry_factory(name: str, default_nwires: int):
 
     def factory(inputs=None, nmode=None, wires=None, cutoff=None, den_mat=False,
                 requires_grad=None, noise=False, mu=0, sigma=0.1, **kwargs):
+        if noise or den_mat:
+            import warnings
+            warnings.warn(
+                'noise/den_mat on a standalone photonic gate descriptor is '
+                'accepted for reference-API parity but ignored: den_mat is a '
+                'circuit-level property and gate noise is sampled when the '
+                'gate is added to a circuit, not per forward (COMPONENTS.md).',
+                UserWarning, stacklevel=2)
         ws = _wires(wires, default_nwires)
         return _standalone(name, ws, inputs, reg['npara'],
                            unitary_fn=reg['unitary'], xp_fn=reg['xp'],
@@ -77,9 +85,9 @@ for _name in PHOTONIC_REGISTRY:
     globals()[_name] = _registry_factory(_name, _NWIRES.get(_name, 1))
 
 
-def BeamSplitterTheta(inputs=None, nmode=None, wires=None, phi: float = 0.0,
+def BeamSplitterTheta(inputs=None, nmode=None, wires=None, phi: float = np.pi / 2,
                       requires_grad=None, **kwargs) -> PhotonicOp:
-    """BS with trainable theta, fixed phi (reference photonic/gate.py BeamSplitterTheta)."""
+    """BS with trainable theta, fixed phi = pi/2 (reference photonic/gate.py:519)."""
     fn_u = lambda p: PG.bs_unitary(jnp.stack([p[0], jnp.asarray(phi, rdtype())]))
     return _standalone('BeamSplitterTheta', _wires(wires, 2), inputs, 1,
                        unitary_fn=fn_u,

@@ -998,7 +998,8 @@ class QumodeCircuit:
                     fock_fn=lambda p, c, _pf=phi_first: PG.mzi_fock(p, c, _pf), npara=2)
 
     def bs_theta(self, wires, inputs=None, encode=False, mu=None, sigma=None):
-        self._bs_fixed_phi(wires, inputs, encode, phi=0.0, name='BeamSplitterTheta')
+        # reference BeamSplitterTheta fixes phi at pi/2 (photonic/gate.py:519)
+        self._bs_fixed_phi(wires, inputs, encode, phi=np.pi / 2, name='BeamSplitterTheta')
 
     def bs_phi(self, wires, inputs=None, encode=False, mu=None, sigma=None):
         self._bs_fixed_theta(wires, inputs, encode, theta=np.pi / 4, name='BeamSplitterPhi')

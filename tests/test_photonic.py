@@ -352,3 +352,19 @@ def test_batched_basis_input():
     for out in outs:
         total = sum(float(np.asarray(v)) for v in out.values())
         np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+def test_bs_theta_phi_conventions_match_reference():
+    """bs_theta fixes phi=pi/2, bs_phi fixes theta=pi/4
+    (reference photonic/gate.py:519-616)."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import deepquantum as ref_dq
+    for sugar, inputs in (('bs_theta', 0.37), ('bs_phi', 1.21)):
+        ours = QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+        theirs = ref_dq.QumodeCircuit(nmode=2, init_state='vac', cutoff=3, backend='gaussian')
+        getattr(ours, sugar)([0, 1], inputs=[inputs])
+        getattr(theirs, sugar)([0, 1], inputs=inputs)
+        u_o = np.asarray(ours.get_unitary())
+        u_t = theirs.get_unitary().detach().numpy()
+        np.testing.assert_allclose(u_o, u_t, atol=1e-6)
