@@ -1,13 +1,26 @@
 """Benchmark suite mirroring the reference harness
-(reference examples/benchmarks/benchmark_v420): gradient step, permanent,
-hafnian, torontonian throughput — ours on TPU vs the mounted PyTorch
-reference on host CPU. Writes JSON results to benchmarks/results.json.
+(reference examples/benchmarks/benchmark_v420): gradient grid, Hessian,
+adjoint gradients at large n, permanent/hafnian/torontonian throughput,
+gate-apply HBM roofline, and MBQC simulate/transpile latency.
 
-Usage: python benchmarks/bench_suite.py [gradient|permanent|hafnian|torontonian|all]
+All device timings chain iterations INSIDE one jitted lax.scan so a single
+dispatch covers `steps` real evaluations — this defeats both per-call tunnel
+latency and the axon result-memoization cache (round-1's n10 permanent
+"anomaly" was exactly those two effects).
+
+Usage:
+  python benchmarks/bench_suite.py [section|all] [--profile] [--reference]
+
+  --profile    capture a jax.profiler trace per section into benchmarks/traces/
+  --reference  also run the mounted PyTorch reference on host CPU over the
+               same grids (slow; fills the *_ref_ms tables)
+
+Writes/merges JSON results into benchmarks/results.json.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -17,60 +30,203 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+PROFILE = '--profile' in sys.argv
+REFERENCE = '--reference' in sys.argv
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
-def _chain_time(fn, x0, steps, advance):
-    """Chained timing: each step consumes the previous output (cache-proof)."""
+
+@contextlib.contextmanager
+def _maybe_profile(tag):
+    if not PROFILE:
+        yield
+        return
     import jax
-    v = fn(x0)
-    jax.block_until_ready(v)
-    x = x0
+    path = os.path.join(_HERE, 'traces', tag)
+    os.makedirs(path, exist_ok=True)
+    with jax.profiler.trace(path):
+        yield
+    print(f'  [profile] {path}')
+
+
+def _scan_time(make_loop, x0, steps):
+    """Compile once, then time one dispatch that runs `steps` chained
+    iterations on device. Returns ms per iteration."""
+    import jax
+    loop = jax.jit(make_loop(steps))
+    jax.block_until_ready(loop(x0))          # compile (memoized result is fine)
+    x1 = jax.tree.map(lambda a: a * (1 + 1e-6), x0) \
+        if not isinstance(x0, tuple) else tuple(a * (1 + 1e-6) for a in x0)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        v = fn(x)
-        x = advance(x, v)
-    jax.block_until_ready(x)
+    jax.block_until_ready(loop(x1))          # fresh input -> no memoization
     return (time.perf_counter() - t0) / steps * 1e3
 
 
-def bench_gradient(ns=(6, 10, 14, 18), nlayer=5, steps=100):
-    import jax
+def _build_vqe(n, nlayer):
     import deepquantum_tpu as dq
+    cir = dq.QubitCircuit(n)
+    for _ in range(nlayer):
+        for i in range(n):
+            cir.rx(i)
+            cir.rz(i)
+            cir.rx(i)
+        cir.cnot_ring()
+    cir.observable(list(range(n)), basis='x' * n)
+    return cir
+
+
+# --------------------------------------------------------------------- qubit
+def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
+    """Reference grid: gradient_deepquantum.py:24-56 (n x layers)."""
+    import jax
+    import jax.numpy as jnp
     out = {}
-    for n in ns:
-        cir = dq.QubitCircuit(n)
-        for _ in range(nlayer):
-            for i in range(n):
-                cir.rx(i); cir.rz(i); cir.rx(i)
-            cir.cnot_ring()
-        cir.observable(list(range(n)), basis='x' * n)
-        params = cir.params
-        grad_fn = jax.jit(jax.value_and_grad(lambda p: cir.expectation(params=p)[0]))
-        ms = _chain_time(lambda p: grad_fn(p)[1], params, steps,
-                         lambda p, g: p + 1e-4 * g)
-        out[f'n{n}_l{nlayer}'] = ms
-        print(f'gradient n={n} l={nlayer}: {ms:.3f} ms/step')
+    for nlayer in grid[1]:
+        for n in grid[0]:
+            if n * (1 << n) * 16 * 3 * nlayer > 12e9:
+                print(f'gradient n={n} l={nlayer}: skipped (autodiff residuals '
+                      f'would exceed HBM; see gradient_adjoint)')
+                continue
+            cir = _build_vqe(n, nlayer)
+            grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        _, g = grad_fn(p)
+                        return p - 1e-3 * g, None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
+
+            with _maybe_profile(f'gradient_n{n}_l{nlayer}'):
+                ms = _scan_time(make_loop, cir.params, steps)
+            out[f'n{n}_l{nlayer}'] = ms
+            print(f'gradient n={n} l={nlayer}: {ms:.3f} ms/step')
     return out
 
 
-def bench_permanent(ns=(10, 14, 18, 20, 22), steps=10):
+def bench_gradient_adjoint(ns=(14, 18, 22, 24, 26), nlayer=5, steps=5):
+    """O(1)-memory adjoint path (adjoint.py lax.scan): usable exactly where
+    autodiff residuals no longer fit (n >= 24 at l=5 on a 16 GB v5e)."""
+    import jax
+    from deepquantum_tpu.adjoint import make_adjoint_expectation
+    out = {}
+    for n in ns:
+        cir = _build_vqe(n, nlayer)
+        try:
+            t_build = time.perf_counter()
+            exp_fn = make_adjoint_expectation(cir)
+            grad_fn = jax.value_and_grad(exp_fn)
+
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        _, g = grad_fn(p)
+                        return p - 1e-3 * g, None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
+
+            with _maybe_profile(f'adjoint_n{n}_l{nlayer}'):
+                ms = _scan_time(make_loop, cir.params, steps)
+            out[f'n{n}_l{nlayer}'] = ms
+            print(f'gradient_adjoint n={n} l={nlayer}: {ms:.2f} ms/step '
+                  f'(build+compile {time.perf_counter() - t_build:.1f}s)')
+        except Exception as e:  # noqa: BLE001 — record partial sweeps
+            print(f'gradient_adjoint n={n}: failed ({type(e).__name__}: {e})')
+            break
+    return out
+
+
+def bench_hessian(ns=(2, 6, 10), nlayer=1, steps=3):
+    """Reference hessian_deepquantum.py: full Hessian of the expectation."""
+    import jax
+    out = {}
+    for n in ns:
+        cir = _build_vqe(n, nlayer)
+        hess_fn = jax.hessian(lambda p: cir.expectation(params=p)[0])
+
+        def make_loop(k):
+            def loop(p):
+                def body(p, _):
+                    h = hess_fn(p)
+                    return p + 1e-6 * jax.numpy.diagonal(h), None
+                return jax.lax.scan(body, p, None, length=k)[0]
+            return loop
+
+        with _maybe_profile(f'hessian_n{n}'):
+            ms = _scan_time(make_loop, cir.params, steps)
+        out[f'n{n}_l{nlayer}'] = ms
+        print(f'hessian n={n} l={nlayer}: {ms:.2f} ms')
+    return out
+
+
+def bench_gate_apply_roofline(ns=(24, 26), ngate=20):
+    """Single-qubit gate sweep over a 2^n c64 statevector: ms/gate and
+    achieved HBM GB/s vs the v5e peak (819 GB/s). Each gate apply moves
+    2 x 8 x 2^n bytes (read + write, complex64)."""
     import jax
     import jax.numpy as jnp
-    from deepquantum_tpu.photonic.qmath import permanent
+    from deepquantum_tpu.ops.apply import evolve_state
+    out = {}
+    for n in ns:
+        try:
+            def make_loop(k):
+                def loop(psi):
+                    def body(psi, th):
+                        cos, sin = jnp.cos(th / 2), jnp.sin(th / 2)
+                        m = jnp.stack([cos + 0j, -1j * sin, -1j * sin, cos + 0j]).reshape(2, 2)
+                        psi = evolve_state(psi.reshape([2] * n), m, n, [0]).reshape(-1)
+                        return psi, None
+                    ths = jnp.linspace(0.1, 0.2, k)
+                    return jax.lax.scan(body, psi, ths)[0]
+                return loop
+
+            psi0 = jnp.zeros((1 << n,), jnp.complex64).at[0].set(1.0)
+            ms = _scan_time(make_loop, psi0, ngate)
+            bytes_moved = 2 * 8 * (1 << n)
+            gbps = bytes_moved / (ms * 1e-3) / 1e9
+            out[f'n{n}'] = dict(ms_per_gate=ms, achieved_gbps=gbps,
+                                frac_of_peak=gbps / 819.0)
+            print(f'gate_apply n={n}: {ms:.3f} ms/gate, {gbps:.0f} GB/s '
+                  f'({100 * gbps / 819:.0f}% of v5e HBM peak)')
+        except Exception as e:  # noqa: BLE001
+            print(f'gate_apply n={n}: failed ({type(e).__name__})')
+            break
+    return out
+
+
+# ------------------------------------------------------------------ photonic
+def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
+    """df32 Pallas kernel (TPU default path), batched grid launch."""
+    import jax
+    import jax.numpy as jnp
+    from deepquantum_tpu.photonic.qmath import permanent_batch
     from deepquantum_tpu.utils.compat import to_device
     rng = np.random.default_rng(0)
     out = {}
     for n in ns:
-        m = to_device((rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
-                      .astype(np.complex64))
-        fn = jax.jit(permanent)
-        ms = _chain_time(fn, m, steps,
-                         lambda x, v: x * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)))
+        def haar(seed):
+            z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+            q, r = np.linalg.qr(z)
+            return q * (np.diag(r) / np.abs(np.diag(r)))
+        mats = to_device(np.stack([haar(s) for s in range(batch)]).astype(np.complex64))
+
+        def make_loop(k):
+            def loop(ms_):
+                def body(m, _):
+                    v = permanent_batch(m)
+                    scale = (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(m.dtype)
+                    return m * scale[:, None, None], None
+                return jax.lax.scan(body, ms_, None, length=k)[0]
+            return loop
+
+        with _maybe_profile(f'permanent_n{n}'):
+            ms = _scan_time(make_loop, mats, steps) / batch
         out[f'n{n}'] = ms
-        print(f'permanent n={n}: {ms:.3f} ms')
+        print(f'permanent n={n}: {ms:.3f} ms/permanent (batch {batch})')
     return out
 
 
-def bench_hafnian(ns=(8, 10, 12), steps=10):
+def bench_hafnian(ns=(8, 12, 16), steps=5):
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.hafnian_ import hafnian
@@ -79,17 +235,24 @@ def bench_hafnian(ns=(8, 10, 12), steps=10):
     out = {}
     for n in ns:
         a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
-        a = (a + a.T).astype(np.complex64)
-        m = to_device(a)
-        fn = jax.jit(lambda x: hafnian(x))
-        ms = _chain_time(fn, m, steps,
-                         lambda x, v: x * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)))
+        m = to_device((a + a.T).astype(np.complex64))
+
+        def make_loop(k):
+            def loop(x):
+                def body(x, _):
+                    v = hafnian(x)
+                    return x * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(x.dtype), None
+                return jax.lax.scan(body, x, None, length=k)[0]
+            return loop
+
+        with _maybe_profile(f'hafnian_n{n}'):
+            ms = _scan_time(make_loop, m, steps)
         out[f'n{n}'] = ms
         print(f'hafnian n={n}: {ms:.3f} ms')
     return out
 
 
-def bench_torontonian(ns=(6, 8, 10), steps=10):
+def bench_torontonian(ns=(6, 8, 10), steps=5):
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.torontonian_ import torontonian
@@ -100,28 +263,154 @@ def bench_torontonian(ns=(6, 8, 10), steps=10):
         m = rng.standard_normal((2 * n, 2 * n)) * 0.1
         o = np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
         x = to_device(o.astype(np.complex64))
-        fn = jax.jit(lambda y: torontonian(y))
-        ms = _chain_time(fn, x, steps,
-                         lambda z, v: z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)))
+
+        def make_loop(k):
+            def loop(z):
+                def body(z, _):
+                    v = torontonian(z)
+                    return z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype), None
+                return jax.lax.scan(body, z, None, length=k)[0]
+            return loop
+
+        with _maybe_profile(f'torontonian_n{n}'):
+            ms = _scan_time(make_loop, x, steps)
         out[f'n{n}'] = ms
         print(f'torontonian 2n={2 * n}: {ms:.3f} ms')
     return out
 
 
+# ---------------------------------------------------------------------- MBQC
+def bench_mbqc(ns=(3, 5, 7), reps=3):
+    """Transpile + simulate latency on random circuits (reference
+    MBQC_simulate/simulate_dq.py, MBQC_transpile/transpile_dq.py).
+    Host-driven (pattern execution is host orchestration by design)."""
+    import deepquantum_tpu as dq
+    rng = np.random.default_rng(3)
+    out = {}
+    for n in ns:
+        t_t, t_s = [], []
+        for r in range(reps):
+            cir = dq.QubitCircuit(n)
+            for _ in range(2 * n):
+                k = int(rng.integers(3))
+                w = int(rng.integers(n))
+                if k == 0:
+                    cir.h(w)
+                elif k == 1:
+                    cir.rx(w, inputs=float(rng.uniform(0, np.pi)))
+                else:
+                    cir.cnot(w, (w + 1) % n)
+            t0 = time.perf_counter()
+            pat = cir.pattern()
+            t_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            pat()
+            t_s.append(time.perf_counter() - t0)
+        out[f'n{n}'] = dict(transpile_ms=float(np.mean(t_t)) * 1e3,
+                            simulate_ms=float(np.mean(t_s)) * 1e3)
+        print(f'mbqc n={n}: transpile {out[f"n{n}"]["transpile_ms"]:.1f} ms, '
+              f'simulate {out[f"n{n}"]["simulate_ms"]:.1f} ms')
+    return out
+
+
+# ------------------------------------------------------- reference comparison
+def _import_reference():
+    import types
+    sys.path.insert(0, '/root/reference/src')
+    for name, attrs in {'qiskit': ['QuantumCircuit'], 'svgwrite': ['Drawing'],
+                        'bayes_opt': ['BayesianOptimization', 'UtilityFunction']}.items():
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            for a in attrs:
+                setattr(mod, a, type(a, (), {}))
+            sys.modules[name] = mod
+    import deepquantum as ref_dq
+    return ref_dq
+
+
+def bench_reference_gradient(grid=((2, 6, 10, 14, 18), (1, 5)), steps=5):
+    """Reference torch-CPU gradient grid (examples/benchmarks/benchmark_v420/
+    gradient/gradient_deepquantum.py:24-56)."""
+    import torch
+    ref_dq = _import_reference()
+    out = {}
+    for nlayer in grid[1]:
+        for n in grid[0]:
+            cir = ref_dq.QubitCircuit(n)
+            for _ in range(nlayer):
+                for i in range(n):
+                    cir.rx(i)
+                    cir.rz(i)
+                    cir.rx(i)
+                cir.cnot_ring()
+            cir.observable(basis='x' * n)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                cir().squeeze()
+                e = cir.expectation()
+                e.backward()
+            ms = (time.perf_counter() - t0) / steps * 1e3
+            out[f'n{n}_l{nlayer}'] = ms
+            print(f'reference gradient n={n} l={nlayer}: {ms:.1f} ms/step')
+    return out
+
+
+def bench_reference_permanent(ns=(10, 14, 18, 20), steps=2):
+    import torch
+    _import_reference()
+    from deepquantum.photonic.qmath import permanent as ref_perm
+    rng = np.random.default_rng(0)
+    out = {}
+    for n in ns:
+        z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        q, r = np.linalg.qr(z)
+        u = torch.tensor(q * (np.diag(r) / np.abs(np.diag(r))), dtype=torch.complex128)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ref_perm(u)
+        ms = (time.perf_counter() - t0) / steps * 1e3
+        out[f'n{n}'] = ms
+        print(f'reference permanent n={n}: {ms:.1f} ms (f64 CPU)')
+    return out
+
+
+SECTIONS = {
+    'gradient': ('gradient_ms', bench_gradient),
+    'gradient_adjoint': ('gradient_adjoint_ms', bench_gradient_adjoint),
+    'hessian': ('hessian_ms', bench_hessian),
+    'roofline': ('gate_apply_roofline', bench_gate_apply_roofline),
+    'permanent': ('permanent_ms', bench_permanent),
+    'hafnian': ('hafnian_ms', bench_hafnian),
+    'torontonian': ('torontonian_ms', bench_torontonian),
+    'mbqc': ('mbqc_ms', bench_mbqc),
+}
+REF_SECTIONS = {
+    'gradient': ('gradient_ref_ms', bench_reference_gradient),
+    'permanent': ('permanent_ref_ms', bench_reference_permanent),
+}
+
+
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    which = args[0] if args else 'all'
+    path = os.path.join(_HERE, 'results.json')
     results = {}
-    if which in ('gradient', 'all'):
-        results['gradient_ms'] = bench_gradient()
-    if which in ('permanent', 'all'):
-        results['permanent_ms'] = bench_permanent()
-    if which in ('hafnian', 'all'):
-        results['hafnian_ms'] = bench_hafnian()
-    if which in ('torontonian', 'all'):
-        results['torontonian_ms'] = bench_torontonian()
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results.json')
-    with open(path, 'w') as f:
-        json.dump(results, f, indent=2)
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    for name, (key, fn) in SECTIONS.items():
+        if which in (name, 'all'):
+            results[key] = fn()
+            with open(path, 'w') as f:
+                json.dump(results, f, indent=2)
+    if REFERENCE:
+        for name, (key, fn) in REF_SECTIONS.items():
+            if which in (name, 'all'):
+                results[key] = fn()
+                with open(path, 'w') as f:
+                    json.dump(results, f, indent=2)
     print(f'wrote {path}')
 
 

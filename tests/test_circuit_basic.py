@@ -198,3 +198,48 @@ def test_distributed_adjoint_expectation():
     g_adj = jax.grad(lambda q: dist.expectation(params=q, adjoint=True)[0])(p)
     g_ad = jax.grad(lambda q: local.expectation(params=q)[0])(p)
     np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ad), atol=1e-8)
+
+
+def test_expectation_shots_matches_exact():
+    """Sampled expectation (basis-rotation + bitstring sampling, reference
+    circuit.py:400-426) converges to the exact value for a mixed X/Z/Y
+    observable."""
+    import deepquantum_tpu as dq
+    cir = dq.QubitCircuit(3)
+    cir.ry(0, inputs=0.7)
+    cir.rx(1, inputs=1.1)
+    cir.cnot(0, 1)
+    cir.rz(2, inputs=0.4)
+    cir.h(2)
+    cir.observable([0], basis='x')
+    cir.observable([1, 2], basis='zy')
+    cir()
+    exact = np.asarray(cir.expectation())
+    import jax
+    sampled = np.asarray(cir.expectation(shots=200_000))
+    assert sampled.shape == exact.shape
+    np.testing.assert_allclose(sampled, exact, atol=0.02)
+
+
+def test_expectation_shots_matches_reference_rotation():
+    """The shots path's basis rotation agrees with the reference's
+    deterministic part: exact expectation of the rotated circuit in the
+    computational basis equals the unrotated observable expectation."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import deepquantum as ref_dq
+    import deepquantum_tpu as dq
+    ours = dq.QubitCircuit(2)
+    theirs = ref_dq.QubitCircuit(2)
+    for c in (ours, theirs):
+        c.ry(0, inputs=0.6)
+        c.cnot(0, 1)
+        c.rx(1, inputs=0.3)
+        c.observable([0, 1], basis='xy')
+    ours()
+    theirs()
+    e_o = float(np.asarray(ours.expectation())[0])
+    e_t = float(theirs.expectation().detach().reshape(-1)[0])
+    np.testing.assert_allclose(e_o, e_t, atol=1e-6)
+    s_o = float(np.asarray(ours.expectation(shots=400_000))[0])
+    np.testing.assert_allclose(s_o, e_t, atol=0.02)

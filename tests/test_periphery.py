@@ -202,3 +202,21 @@ def test_qasm3_roundtrip_ansatz():
         s1 = np.asarray(cir()).reshape(-1)
         s2 = np.asarray(cir2()).reshape(-1)
         np.testing.assert_allclose(s2, s1, atol=1e-6)
+
+
+def test_unitary_mapper_two_qubit_cnot():
+    """2-qubit CNOT with two ancilla modes — the reference mapper's primary
+    use case (reference photonic/mapper.py:18-86). Post-selected transfer
+    matrix must equal success * CNOT with success = 1/3."""
+    from deepquantum_tpu.photonic.mapper import UnitaryMapper
+    np.random.seed(7)
+    cnot = np.eye(4)
+    cnot[2:, 2:] = [[0, 1], [1, 0]]
+    mapper = UnitaryMapper(nqubit=2, nmode=6, ugate=cnot, success=1 / 3,
+                           aux=[0, 0], aux_pos=[4, 5])
+    sols = mapper.solve_eqs_real(total_trials=10)
+    assert sols, 'no optical realization found in 10 trials'
+    u = sols[0]
+    assert mapper.is_unitary(u)
+    np.testing.assert_allclose(np.asarray(mapper.get_transfer_mat(u)),
+                               cnot / 3, atol=1e-5)
