@@ -48,17 +48,67 @@ def _maybe_profile(tag):
     print(f'  [profile] {path}')
 
 
+_RT_MS = None
+
+
+def _roundtrip_ms():
+    """Dispatch + scalar-fetch round trip of a trivial program (~32 ms over
+    the axon tunnel). Subtracted from every scan timing."""
+    global _RT_MS
+    if _RT_MS is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda e: e * 2.0 + 1.0)
+        float(f(jnp.asarray(0.5, jnp.float32)))
+        ts = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            float(f(jnp.asarray(0.1 * k, jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        _RT_MS = sorted(ts)[1] * 1e3
+    return _RT_MS
+
+
 def _scan_time(make_loop, x0, steps):
-    """Compile once, then time one dispatch that runs `steps` chained
-    iterations on device. Returns ms per iteration."""
+    """Time `steps` chained on-device iterations in ONE dispatch.
+
+    Execution is forced by fetching a scalar reduction of the final carry —
+    on the axon tunnel `block_until_ready` returns before the program has
+    actually run, so only a value fetch is trustworthy. A fresh epsilon is
+    folded into the input inside the program each call (defeats the remote
+    execution-memoization cache, which keys on input values). The measured
+    dispatch+fetch round trip is subtracted; if the program is too short to
+    dominate the round trip, the iteration count is scaled up once."""
     import jax
-    loop = jax.jit(make_loop(steps))
-    jax.block_until_ready(loop(x0))          # compile (memoized result is fine)
-    x1 = jax.tree.map(lambda a: a * (1 + 1e-6), x0) \
-        if not isinstance(x0, tuple) else tuple(a * (1 + 1e-6) for a in x0)
+    import jax.numpy as jnp
+
+    def build(k):
+        raw = make_loop(k)
+
+        @jax.jit
+        def loopj(x, eps):
+            x = jax.tree.map(lambda a: (a + eps.astype(jnp.result_type(a, jnp.float32))
+                                        .astype(a.dtype)), x)
+            out = raw(x)
+            return sum(jnp.sum(jnp.real(l)).astype(jnp.float32)
+                       for l in jax.tree.leaves(out))
+        return loopj
+
+    rt = _roundtrip_ms()
+    loopj = build(steps)
+    float(loopj(x0, jnp.zeros((), jnp.float32)))          # compile + run
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(x1))          # fresh input -> no memoization
-    return (time.perf_counter() - t0) / steps * 1e3
+    float(loopj(x0, jnp.asarray(1e-4, jnp.float32)))
+    total = (time.perf_counter() - t0) * 1e3
+    if total < 8 * rt:                                    # amortize the tunnel
+        scale = max(2, int(10 * rt / max(total - rt, 0.3)))
+        steps *= scale
+        loopj = build(steps)
+        float(loopj(x0, jnp.zeros((), jnp.float32)))
+        t0 = time.perf_counter()
+        float(loopj(x0, jnp.asarray(2e-4, jnp.float32)))
+        total = (time.perf_counter() - t0) * 1e3
+    return max(total - rt, 1e-4) / steps
 
 
 def _build_vqe(n, nlayer):
@@ -195,12 +245,28 @@ def bench_gate_apply_roofline(ns=(24, 26), ngate=20):
 
 
 # ------------------------------------------------------------------ photonic
+def _permanent_host_f64(a: np.ndarray, chunk: int = 1 << 16) -> complex:
+    """Host numpy complex128 Ryser permanent — the parity oracle for the
+    on-chip df32 kernel (chunked so n=22 never materializes 2^n x n)."""
+    n = a.shape[0]
+    total = 0.0 + 0.0j
+    for start in range(0, 1 << n, chunk):
+        idx = np.arange(start, min(start + chunk, 1 << n), dtype=np.int64)
+        masks = ((idx[:, None] >> np.arange(n)) & 1).astype(np.complex128)
+        sums = masks @ a                       # (chunk, n) column sums over S
+        par = np.where(np.bitwise_count(idx.astype(np.uint64)) % 2 == 0, 1.0, -1.0)
+        total += np.sum(par * np.prod(sums, axis=1))
+    return complex(total * (1 if n % 2 == 0 else -1))
+
+
 def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
-    """df32 Pallas kernel (TPU default path), batched grid launch."""
+    """df32 Pallas kernel (TPU default path), batched grid launch. Records
+    both latency and on-chip relative error vs the host f64 Ryser oracle
+    (the round-1 review required a recorded on-chip parity run)."""
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.qmath import permanent_batch
-    from deepquantum_tpu.utils.compat import to_device
+    from deepquantum_tpu.utils.compat import to_device, to_numpy
     rng = np.random.default_rng(0)
     out = {}
     for n in ns:
@@ -208,7 +274,12 @@ def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
             z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
             q, r = np.linalg.qr(z)
             return q * (np.diag(r) / np.abs(np.diag(r)))
-        mats = to_device(np.stack([haar(s) for s in range(batch)]).astype(np.complex64))
+        host_mats = np.stack([haar(s) for s in range(batch)])
+        mats = to_device(host_mats.astype(np.complex64))
+
+        vals = np.asarray(to_numpy(jax.jit(permanent_batch)(mats)))
+        oracle = [_permanent_host_f64(m) for m in host_mats]
+        rel = max(abs(complex(v) - o) / abs(o) for v, o in zip(vals, oracle))
 
         def make_loop(k):
             def loop(ms_):
@@ -221,8 +292,9 @@ def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
 
         with _maybe_profile(f'permanent_n{n}'):
             ms = _scan_time(make_loop, mats, steps) / batch
-        out[f'n{n}'] = ms
-        print(f'permanent n={n}: {ms:.3f} ms/permanent (batch {batch})')
+        out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel)
+        print(f'permanent n={n}: {ms:.3f} ms/permanent (batch {batch}), '
+              f'rel err vs f64 = {rel:.2e}')
     return out
 
 

@@ -596,9 +596,69 @@ class QubitCircuit:
             return evolve_den_mat_controlled(x, mat, n, list(op.wires), list(op.controls))
         return evolve_state_controlled(x, mat, n, list(op.wires), list(op.controls))
 
+    def _planar_ok(self) -> bool:
+        """Route through the Pallas planar-f32 engine (ops/planar_gate.py)?
+
+        TPU only, statevector only, complex64 policy, n >= 12, and every
+        fused-plan entry a plain unitary on <= 3 wires. The planar kernel
+        runs gate apply at ~650 GB/s (near the HBM roofline) vs ~140 GB/s
+        for the complex einsum path.
+        """
+        if getattr(self, '_planar_block', False):
+            return False        # vmapped traces: pallas blocks don't batch
+        key = ('planar_ok', self._version, self.fuse_max_support)
+        ok = self._cache.get(key)
+        if ok is None:
+            import os
+            flag = os.environ.get('DQ_PLANAR', '')
+            if flag == '0':
+                backend_ok = False
+            elif flag == '1':
+                backend_ok = True        # forced (CPU tests run in interpret mode)
+            else:
+                backend_ok = jax.default_backend() == 'tpu'
+            ok = (backend_ok and not self.den_mat and not self.mps
+                  and self.nqubit >= 12 and cdtype() == jnp.complex64)
+            if ok:
+                for entry in self._fused_plan():
+                    if entry[0] == 'group':
+                        if len(entry[2]) > 3:
+                            ok = False
+                            break
+                    else:
+                        op = entry[1]
+                        if (op.kind != 'gate' or op.condition
+                                or len(set(op.wires) | set(op.controls)) > 3):
+                            ok = False
+                            break
+            self._cache[key] = ok
+        return ok
+
+    def _sim_planar(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        from .ops.apply import controlled_matrix
+        from .ops.planar_gate import from_planar, planar_chain_matrices, to_planar
+        n = self.nqubit
+        interp = jax.default_backend() != 'tpu'
+        mats, wlists = [], []
+        for entry in self._fused_plan():
+            if entry[0] == 'op':
+                op = entry[1]
+                mat = controlled_matrix(jnp.asarray(op.matrix(full_params), cdtype()),
+                                        len(op.controls))
+                wires = list(op.controls) + list(op.wires)
+            else:
+                mat, wires = self._fused_matrix(entry, full_params)
+            mats.append(mat)
+            wlists.append(list(wires))
+        p = planar_chain_matrices(to_planar(x.reshape(-1)), mats, wlists, n,
+                                  interpret=interp)
+        return from_planar(p).reshape([2] * n)
+
     def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
         n = self.nqubit
+        if self._planar_ok():
+            return self._sim_planar(full_params, x)
         for entry in self._fused_plan():
             if entry[0] == 'op':
                 x = self._apply_op(entry[1], full_params, x)
@@ -693,7 +753,11 @@ class QubitCircuit:
                 if data_.ndim == 1:
                     return one(data_, state_)
                 in_axes = (0, None) if single else (0, 0)
-                return jax.vmap(one, in_axes=in_axes)(data_, state_)
+                self._planar_block = True      # pallas kernels don't vmap
+                try:
+                    return jax.vmap(one, in_axes=in_axes)(data_, state_)
+                finally:
+                    self._planar_block = False
             fn = jax.jit(run, static_argnames=())
             self._cache[key] = fn
         ptree = None if params is None else jnp.asarray(params, dtype=rdtype())
@@ -773,6 +837,30 @@ class QubitCircuit:
                 for obs in self.observables:
                     ox = obs.apply(x, den_mat=True)
                     vals.append(jnp.trace(ox.reshape(2 ** n, 2 ** n)).real)
+            elif self._planar_ok():
+                # Pauli strings grouped into <=3-wire constant blocks, run
+                # through the planar engine: fwd = one kernel chain (Px),
+                # bwd = one elementwise pass (2*Px) — no complex einsums
+                from .ops.planar_gate import planar_pauli_expectation, to_planar
+                interp = jax.default_backend() != 'tpu'
+                pauli_np = {'x': np.array([[0, 1], [1, 0]], np.complex64),
+                            'y': np.array([[0, -1j], [1j, 0]], np.complex64),
+                            'z': np.array([[1, 0], [0, -1]], np.complex64)}
+                xp = to_planar(s)
+                vals = []
+                for obs in self.observables:
+                    pairs = sorted((w[0], b) for w, b in zip(obs.wires, obs.basis))
+                    mres, mims, wseq = [], [], []
+                    for i in range(0, len(pairs), 3):
+                        chunk = pairs[i:i + 3]
+                        mat = np.array([[1]], np.complex64)
+                        for _, b in chunk:
+                            mat = np.kron(mat, pauli_np[b])
+                        mres.append(jnp.asarray(mat.real, jnp.float32))
+                        mims.append(jnp.asarray(mat.imag, jnp.float32))
+                        wseq.append(tuple(w for w, _ in chunk))
+                    vals.append(planar_pauli_expectation(
+                        xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
             else:
                 x = s.reshape([2] * n)
                 vals = []

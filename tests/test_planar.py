@@ -1,0 +1,94 @@
+"""Planar Pallas gate-engine tests (interpret mode on CPU).
+
+The planar engine (ops/planar_gate.py) is the TPU hot path: f32 re/im planes,
+one in-place Pallas kernel per fused gate group, chain-level adjoint VJP.
+These tests run the identical kernel arithmetic through the Pallas
+interpreter against the complex einsum engine at complex64.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import deepquantum_tpu as dq
+from deepquantum_tpu.ops.apply import evolve_state
+from deepquantum_tpu.ops.planar_gate import (
+    from_planar, planar_evolve_matrix, to_planar)
+
+
+@pytest.fixture()
+def c64():
+    dq.set_dtype('complex64')
+    os.environ['DQ_PLANAR'] = '1'
+    yield
+    os.environ.pop('DQ_PLANAR', None)
+    dq.set_dtype('complex128')
+
+
+def _haar(k, rng):
+    z = rng.normal(size=(k, k)) + 1j * rng.normal(size=(k, k))
+    q, r = np.linalg.qr(z)
+    return (q * (np.diag(r) / np.abs(np.diag(r)))).astype(np.complex64)
+
+
+@pytest.mark.parametrize('n,wires', [
+    (14, (0,)), (14, (13,)), (14, (5,)),          # head / tail / mid singles
+    (14, (0, 1, 2)), (14, (11, 12, 13)), (14, (4, 5, 6)),
+    (14, (0, 6, 13)), (12, (3, 11)), (16, (1, 8, 15)),
+])
+def test_planar_kernel_matches_evolve_state(n, wires, c64):
+    """Every wire regime (head axes, sublane rolls, lane rolls, mixed)
+    against the complex einsum engine (reference qmath.py:485 semantics)."""
+    rng = np.random.default_rng(n * 31 + len(wires))
+    u = _haar(1 << len(wires), rng)
+    psi = rng.normal(size=(1 << n)) + 1j * rng.normal(size=(1 << n))
+    psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+    ref = np.asarray(evolve_state(jnp.asarray(psi).reshape([2] * n),
+                                  jnp.asarray(u), n, list(wires))).reshape(-1)
+    y = planar_evolve_matrix(to_planar(jnp.asarray(psi)), jnp.asarray(u),
+                             n, tuple(wires), interpret=True)
+    np.testing.assert_allclose(np.asarray(from_planar(y)), ref, atol=2e-6)
+
+
+def test_planar_circuit_expectation_and_grad(c64):
+    """Full VQE circuit through the planar chain + planar Pauli expectation
+    vs the complex engine: values and gradients."""
+    n = 12
+
+    def build():
+        cir = dq.QubitCircuit(n)
+        for _ in range(2):
+            for i in range(n):
+                cir.rx(i)
+                cir.rz(i)
+            cir.cnot_ring()
+        cir.observable(list(range(n)), basis='x' * n)
+        cir.observable(0, basis='z')
+        return cir
+
+    cir = build()
+    assert cir._planar_ok()
+    p = cir.params
+    e_pl = np.asarray(cir.expectation(params=p))
+    g_pl = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = build()
+    assert not cir2._planar_ok()
+    e_ref = np.asarray(cir2.expectation(params=p))
+    g_ref = np.asarray(jax.grad(lambda q: cir2.expectation(params=q)[0])(p))
+
+    np.testing.assert_allclose(e_pl, e_ref, atol=1e-5)
+    np.testing.assert_allclose(g_pl, g_ref, atol=1e-4)
+
+
+def test_planar_disabled_paths(c64):
+    """den_mat / mps / small-n / x64 circuits never take the planar route."""
+    assert not dq.QubitCircuit(8)._planar_ok()                  # n < 12
+    assert not dq.QubitCircuit(12, den_mat=True)._planar_ok()
+    dq.set_dtype('complex128')
+    assert not dq.QubitCircuit(12)._planar_ok()                 # x64 policy
