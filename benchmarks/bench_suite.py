@@ -132,10 +132,8 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
     out = {}
     for nlayer in grid[1]:
         for n in grid[0]:
-            if n * (1 << n) * 16 * 3 * nlayer > 12e9:
-                print(f'gradient n={n} l={nlayer}: skipped (autodiff residuals '
-                      f'would exceed HBM; see gradient_adjoint)')
-                continue
+            # no residual-memory cap needed: on TPU at n >= 12 the planar
+            # chain VJP keeps O(1) state memory (ops/planar_gate.py)
             cir = _build_vqe(n, nlayer)
             grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
 
@@ -209,34 +207,44 @@ def bench_hessian(ns=(2, 6, 10), nlayer=1, steps=3):
     return out
 
 
-def bench_gate_apply_roofline(ns=(24, 26), ngate=20):
-    """Single-qubit gate sweep over a 2^n c64 statevector: ms/gate and
-    achieved HBM GB/s vs the v5e peak (819 GB/s). Each gate apply moves
-    2 x 8 x 2^n bytes (read + write, complex64)."""
+def bench_gate_apply_roofline(ns=(24, 26), ngate=64):
+    """Fused 3-qubit group apply through the planar Pallas engine: ms/gate
+    and achieved HBM GB/s vs the v5e peak (819 GB/s). One pass moves
+    2 x 8 x 2^n bytes (read + write of both f32 planes). The one
+    scan-boundary donation copy is amortized over `ngate` chained gates
+    (real circuits chain hundreds). Practical stream ceiling measured by
+    benchmarks/calibrate_hbm.py: ~593-676 GB/s."""
     import jax
     import jax.numpy as jnp
-    from deepquantum_tpu.ops.apply import evolve_state
+    from deepquantum_tpu.ops.planar_gate import planar_evolve
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    u = np.linalg.qr(z)[0]
+    mre = jnp.asarray(np.real(u).astype(np.float32))
+    mim = jnp.asarray(np.imag(u).astype(np.float32))
     out = {}
     for n in ns:
         try:
+            wsets = [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]
+
             def make_loop(k):
-                def loop(psi):
-                    def body(psi, th):
-                        cos, sin = jnp.cos(th / 2), jnp.sin(th / 2)
-                        m = jnp.stack([cos + 0j, -1j * sin, -1j * sin, cos + 0j]).reshape(2, 2)
-                        psi = evolve_state(psi.reshape([2] * n), m, n, [0]).reshape(-1)
-                        return psi, None
-                    ths = jnp.linspace(0.1, 0.2, k)
-                    return jax.lax.scan(body, psi, ths)[0]
+                def loop(x):
+                    def body(x, _):
+                        for ws in wsets:
+                            x = planar_evolve(x, mre, mim, n, ws)
+                        return x, None
+                    return jax.lax.scan(body, x, None, length=k // len(wsets))[0]
                 return loop
 
-            psi0 = jnp.zeros((1 << n,), jnp.complex64).at[0].set(1.0)
-            ms = _scan_time(make_loop, psi0, ngate)
+            # make_loop(k) applies k gates total (k/4 scan steps x 4 gates),
+            # so _scan_time's per-step division already yields ms per gate
+            x0 = jnp.linspace(0, 1, 2 << n, dtype=jnp.float32).reshape(2, 1 << n)
+            ms = _scan_time(make_loop, x0, ngate)
             bytes_moved = 2 * 8 * (1 << n)
             gbps = bytes_moved / (ms * 1e-3) / 1e9
             out[f'n{n}'] = dict(ms_per_gate=ms, achieved_gbps=gbps,
                                 frac_of_peak=gbps / 819.0)
-            print(f'gate_apply n={n}: {ms:.3f} ms/gate, {gbps:.0f} GB/s '
+            print(f'gate_apply n={n}: {ms:.3f} ms/gate-group, {gbps:.0f} GB/s '
                   f'({100 * gbps / 819:.0f}% of v5e HBM peak)')
         except Exception as e:  # noqa: BLE001
             print(f'gate_apply n={n}: failed ({type(e).__name__})')
