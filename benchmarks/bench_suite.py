@@ -152,9 +152,12 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
     return out
 
 
-def bench_gradient_adjoint(ns=(14, 18, 22, 24, 26), nlayer=5, steps=5):
-    """O(1)-memory adjoint path (adjoint.py lax.scan): usable exactly where
-    autodiff residuals no longer fit (n >= 24 at l=5 on a 16 GB v5e)."""
+def bench_gradient_adjoint(ns=(14,), nlayer=5, steps=5):
+    """The complex lax.scan adjoint path (adjoint.py) — kept for the
+    distributed API; at n >= 12 the planar chain VJP (ops/planar_gate.py)
+    supersedes it (same O(1) memory, ~500x faster: 2.1 ms vs 1089 ms at
+    n=14/l=5) and carries gradient_large to n=28. n > 14 runs have crashed
+    the remote TPU worker, so the sweep stays at n=14."""
     import jax
     from deepquantum_tpu.adjoint import make_adjoint_expectation
     out = {}
@@ -181,6 +184,63 @@ def bench_gradient_adjoint(ns=(14, 18, 22, 24, 26), nlayer=5, steps=5):
         except Exception as e:  # noqa: BLE001 — record partial sweeps
             print(f'gradient_adjoint n={n}: failed ({type(e).__name__}: {e})')
             break
+    return out
+
+
+def bench_gradient_large(ns=(24, 26, 28), nlayer=2, steps=4):
+    """Large-n single-chip VQE gradient steps through the planar engine.
+
+    The chain-level adjoint VJP keeps O(1) state memory (no per-gate
+    residuals), so a v5e's 16 GB HBM carries full gradient training to
+    n=28 (2 GB planar state; peak ~3 live buffers in the backward) — the
+    BASELINE.md 30-qubit-scale north star on ONE chip; beyond that the
+    GSPMD/shard_map engines split the amplitude axis over the mesh."""
+    import jax
+    out = {}
+    for n in ns:
+        cir = _build_vqe(n, nlayer)
+        grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+        def make_loop(k):
+            def loop(p):
+                def body(p, _):
+                    _, g = grad_fn(p)
+                    return p - 1e-3 * g, None
+                return jax.lax.scan(body, p, None, length=k)[0]
+            return loop
+
+        try:
+            with _maybe_profile(f'gradient_large_n{n}'):
+                ms = _scan_time(make_loop, cir.params, steps)
+            out[f'n{n}_l{nlayer}'] = ms
+            print(f'gradient_large n={n} l={nlayer}: {ms:.2f} ms/step')
+        except Exception as e:  # noqa: BLE001
+            print(f'gradient_large n={n}: failed ({type(e).__name__}: {str(e)[:120]})')
+            break
+    return out
+
+
+def bench_fusion_ablation(n=22, nlayer=5, steps=10):
+    """Measured effect of the greedy K-wire fusion on the grad step
+    (round-1 review asked for the delta to be measured, not claimed)."""
+    import jax
+    out = {}
+    for K in (1, 2, 3):
+        cir = _build_vqe(n, nlayer)
+        cir.fuse_max_support = K
+        grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+        def make_loop(k):
+            def loop(p):
+                def body(p, _):
+                    _, g = grad_fn(p)
+                    return p - 1e-3 * g, None
+                return jax.lax.scan(body, p, None, length=k)[0]
+            return loop
+
+        ms = _scan_time(make_loop, cir.params, steps)
+        out[f'K{K}'] = ms
+        print(f'fusion n={n} l={nlayer} K={K}: {ms:.2f} ms/step')
     return out
 
 
@@ -225,7 +285,10 @@ def bench_gate_apply_roofline(ns=(24, 26), ngate=64):
     out = {}
     for n in ns:
         try:
-            wsets = [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]
+            # 16 gates per scan body: the scan-boundary reshape costs one
+            # donation copy per iteration, so enough gates must amortize it
+            # (real circuit forwards chain hundreds inside one trace)
+            wsets = [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)] * 4
 
             def make_loop(k):
                 def loop(x):
@@ -306,16 +369,46 @@ def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
     return out
 
 
+def _hafnian_host_f64(a: np.ndarray) -> complex:
+    """Host f64 power-trace hafnian (same published recurrence as
+    photonic/hafnian_.py, numpy complex128) — the on-chip accuracy oracle."""
+    n = a.shape[0]
+    m = n // 2
+    total = 0.0 + 0.0j
+    import itertools as it
+    for r in range(1, m + 1):
+        for sub in it.combinations(range(m), r):
+            idx = np.array([(2 * p, 2 * p + 1) for p in sub]).reshape(-1)
+            az = a[np.ix_(idx, idx)]
+            xaz = np.copy(az)
+            xaz[0::2], xaz[1::2] = az[1::2], az[0::2]
+            p = np.zeros(m, np.complex128)
+            mat = np.eye(2 * r, dtype=np.complex128)
+            for j in range(1, m + 1):
+                mat = mat @ xaz
+                p[j - 1] = np.trace(mat) / (2 * j)
+            e = np.zeros(m + 1, np.complex128)
+            e[0] = 1
+            for k in range(1, m + 1):
+                e[k] = sum(j * p[j - 1] * e[k - j] for j in range(1, k + 1)) / k
+            total += (-1.0) ** (m - r) * e[m]
+    return complex(total)
+
+
 def bench_hafnian(ns=(8, 12, 16), steps=5):
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.hafnian_ import hafnian
-    from deepquantum_tpu.utils.compat import to_device
+    from deepquantum_tpu.utils.compat import to_device, to_numpy
     rng = np.random.default_rng(1)
     out = {}
     for n in ns:
         a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
-        m = to_device((a + a.T).astype(np.complex64))
+        host = (a + a.T).astype(np.complex64)
+        m = to_device(host)
+        val = complex(np.asarray(to_numpy(jax.jit(hafnian)(m))))
+        oracle = _hafnian_host_f64(host.astype(np.complex128))
+        rel = abs(val - oracle) / abs(oracle)
 
         def make_loop(k):
             def loop(x):
@@ -327,8 +420,8 @@ def bench_hafnian(ns=(8, 12, 16), steps=5):
 
         with _maybe_profile(f'hafnian_n{n}'):
             ms = _scan_time(make_loop, m, steps)
-        out[f'n{n}'] = ms
-        print(f'hafnian n={n}: {ms:.3f} ms')
+        out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel)
+        print(f'hafnian n={n}: {ms:.3f} ms, rel err vs f64 = {rel:.2e}')
     return out
 
 
@@ -458,6 +551,8 @@ def bench_reference_permanent(ns=(10, 14, 18, 20), steps=2):
 
 SECTIONS = {
     'gradient': ('gradient_ms', bench_gradient),
+    'gradient_large': ('gradient_large_ms', bench_gradient_large),
+    'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
     'gradient_adjoint': ('gradient_adjoint_ms', bench_gradient_adjoint),
     'hessian': ('hessian_ms', bench_hessian),
     'roofline': ('gate_apply_roofline', bench_gate_apply_roofline),

@@ -464,10 +464,12 @@ class QubitCircuit:
 
     # ---------------------------------------------------------------- fusion
     #: max combined wire support of one fused gate group. Each group costs one
-    #: full read+write pass over the state; at K wires the pass does 2^K MACs
-    #: per amplitude, still far below the v5e flops:bytes roofline ratio, so a
-    #: larger K monotonically cuts HBM traffic until trace-time kron cost bites.
-    fuse_max_support: int = 3
+    #: full read+write pass over the state. Forward-only, bigger K wins (fewer
+    #: passes); under training the backward's matrix-cotangent reduction costs
+    #: ~4^K VPU work per group, and the measured optimum on the n=22/l=5 TPU
+    #: grad step is K=2 (103.3/102.3/126.7 ms for K=1/2/3 — benchmarks
+    #: results.json fusion_ablation_ms).
+    fuse_max_support: int = 2
 
     def _fused_plan(self):
         """Trace-time gate fusion: greedy wire-support grouping.

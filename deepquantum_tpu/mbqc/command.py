@@ -1,9 +1,9 @@
 """MBQC commands (reference src/deepquantum/mbqc/command.py).
 
 Node / Entanglement are pure graph bookkeeping; Measurement lazily
-materializes the owning subgraph, applies the adaptive-angle J projector via
-a jitted QubitCircuit and one-shot sampling, then collapses the subgraph;
-Correction applies conditional X/Z byproducts.
+materializes the owning subgraph, applies the adaptive-angle J projector and
+one-shot sampling in host numpy (see the fast-path note below), then
+collapses the subgraph; Correction applies conditional X/Z byproducts.
 """
 
 from __future__ import annotations
@@ -12,12 +12,35 @@ from typing import Any
 
 import numpy as np
 
-from ..circuit import QubitCircuit
-from ..ops.qmath import slice_state_vector
 from ..utils.compat import to_numpy
 from .state import GraphState
 
 __all__ = ['Command', 'Node', 'Entanglement', 'Measurement', 'Correction']
+
+
+# ---------------------------------------------------------- numpy fast path
+# Pattern execution is thousands of 1-qubit operations on <= 2^k amplitude
+# vectors with constantly-changing k — a per-shape jit compile each time and
+# (on remote accelerators) a dispatch round trip per command. Host numpy is
+# orders of magnitude faster here (measured 58 s -> ms-scale for an n=7
+# pattern over the axon tunnel).
+
+def _np_j_matrix(theta: float, plane: str) -> np.ndarray:
+    """J-measurement gate (matches ops/gates.py projection_j_matrix)."""
+    c, s = np.cos(theta / 2), np.sin(theta / 2)
+    if plane in ('xy', 'yx'):
+        e = np.exp(-1j * theta)
+        return np.array([[1, e], [1, -e]]) / 2 ** 0.5
+    if plane in ('yz', 'zy'):
+        return np.array([[c + s, -1j * (c - s)], [c - s, 1j * (c + s)]]) / 2 ** 0.5
+    if plane in ('zx', 'xz'):
+        return np.array([[c, s], [s, -c]])
+    raise ValueError(f'Unsupported plane {plane}')
+
+
+def _np_apply_1q(state: np.ndarray, mat: np.ndarray, wire: int, nqubit: int) -> np.ndarray:
+    x = state.reshape(1 << wire, 2, -1)
+    return np.einsum('ab,ibj->iaj', mat, x).reshape(-1)
 
 
 class Command:
@@ -133,18 +156,19 @@ class Measurement(Command):
             alpha = (-1) ** qt * angle + np.pi * (qs + qt)
         else:
             raise ValueError(f'Unsupported plane {self.plane}')
-        cir = QubitCircuit(nqubit=nqubit)
-        cir.j(wires=wire, plane=self.plane, encode=True)
-        import jax.numpy as jnp
-        final_state = cir(data=jnp.array([alpha]), state=init_state)
-        rst = cir.measure(shots=1, wires=wire)
-        bit = next(iter(rst))
-        state = slice_state_vector(jnp.asarray(final_state).reshape(1, -1), nqubit, [wire], bit)[0]
+        final = _np_apply_1q(init_state, _np_j_matrix(alpha, self.plane), wire, nqubit)
+        x3 = final.reshape(1 << wire, 2, -1)
+        tot = float(np.sum(np.abs(final) ** 2))
+        p1 = float(np.sum(np.abs(x3[:, 1, :]) ** 2)) / max(tot, 1e-300)
+        bit = '1' if np.random.rand() < p1 else '0'
+        state = x3[:, int(bit), :].reshape(-1)
+        norm = np.linalg.norm(state)
+        state = state / (norm if norm > 0 else 1)
         sgs.measure_dict[self.nodes[0]].append(int(bit))
         nodes_state = sorted(sgs.nodes)
         nodes_state.remove(self.nodes[0])
         x.subgraphs.pop(idx)
-        x.add_subgraph(nodes_state=nodes_state, state=np.asarray(to_numpy(state)),
+        x.add_subgraph(nodes_state=nodes_state, state=state,
                        measure_dict=sgs.measure_dict, index=0)
         return x
 
@@ -178,18 +202,17 @@ class Correction(Command):
         wire = sgs.node2wire_dict[self.nodes[0]]
         qs = sum(sgs.measure_dict[s][-1] if sgs.measure_dict[s] else 0 for s in self.domain)
         theta = np.pi * qs
-        cir = QubitCircuit(nqubit=nqubit)
+        c, s = np.cos(theta / 2), np.sin(theta / 2)
         if self.basis == 'x':
-            cir.rx(wires=wire, encode=True)   # global phase irrelevant
+            mat = np.array([[c, -1j * s], [-1j * s, c]])   # global phase irrelevant
         elif self.basis == 'z':
-            cir.rz(wires=wire, encode=True)
+            mat = np.array([[np.exp(-1j * theta / 2), 0], [0, np.exp(1j * theta / 2)]])
         else:
             raise ValueError(f'Invalid basis {self.basis}')
-        import jax.numpy as jnp
-        state = cir(data=jnp.array([theta]), state=init_state)
+        state = _np_apply_1q(init_state, mat, wire, nqubit)
         nodes_state = sorted(sgs.nodes)
         x.subgraphs.pop(idx)
-        x.add_subgraph(nodes_state=nodes_state, state=np.asarray(to_numpy(state)).reshape(-1),
+        x.add_subgraph(nodes_state=nodes_state, state=state.reshape(-1),
                        measure_dict=sgs.measure_dict, index=0)
         return x
 

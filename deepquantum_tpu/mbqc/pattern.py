@@ -6,6 +6,7 @@ Ref: V. Danos, E. Kashefi and P. Panangaden, J. ACM 54.2 8 (2007).
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from copy import copy, deepcopy
 from typing import Any
 
@@ -36,15 +37,27 @@ class Pattern:
         return self.forward(data, state)
 
     def forward(self, data=None, state: GraphState | None = None) -> GraphState:
-        if state is None:
-            self.state = deepcopy(self.init_state)
-        else:
-            self.state = state
-        self.encode(data)
-        for cmd in self.commands:
-            self.state = cmd(self.state)
-        self.state.set_nodes_out_seq(self.nodes_out_seq)
-        return self.state
+        # Pattern execution is host-orchestrated over TINY states (2^k for a
+        # handful of active nodes) with data-dependent shapes — exactly the
+        # workload a remote accelerator is worst at (one ~30 ms tunnel round
+        # trip per command plus a compile per new shape: measured 300+ s for
+        # an n=3 pattern). Pin the whole run to the host CPU backend.
+        import jax
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            if state is None:
+                self.state = deepcopy(self.init_state)
+            else:
+                self.state = state
+            self.encode(data)
+            for cmd in self.commands:
+                self.state = cmd(self.state)
+            self.state.set_nodes_out_seq(self.nodes_out_seq)
+            return self.state
 
     def encode(self, data) -> None:
         """Write data into encoder measurement angles (reference mbqc/pattern.py:78)."""

@@ -55,11 +55,19 @@ class SubGraphState:
         init = reduce(np.kron, [plus] * len(nodes_bg), np.asarray(state))
         init = np.asarray(init).reshape([-1] + [2] * nqubit)
         init = np.transpose(init, inverse_permutation(wires)).reshape(-1, 2 ** nqubit)
-        cir = QubitCircuit(nqubit=nqubit, init_state=init[0] if init.shape[0] == 1 else init)
+        # CZ edges as one numpy sign vector — patterns materialize thousands
+        # of tiny states with ever-changing shapes, so host numpy beats a
+        # per-shape jitted circuit by orders of magnitude
+        dim = 2 ** nqubit
+        ar = np.arange(dim)
+        sign = np.ones(dim)
         for a, b, data in self.graph.edges(data=True):
             if data.get('cz'):
-                cir.cz(self.node2wire_dict[a], self.node2wire_dict[b])
-        return cir()
+                ba = (ar >> (nqubit - 1 - self.node2wire_dict[a])) & 1
+                bb = (ar >> (nqubit - 1 - self.node2wire_dict[b])) & 1
+                sign *= 1.0 - 2.0 * (ba & bb)
+        out = (init * sign).astype(cdtype())
+        return out[0][:, None] if out.shape[0] == 1 else out[..., None]
 
     def set_graph(self, nodes_state=None, edges=None, nodes=None) -> None:
         if nodes_state is None:

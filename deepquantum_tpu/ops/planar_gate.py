@@ -320,6 +320,9 @@ def _grad_kernel_body(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
     def vrev(v):
         return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
 
+    # NOTE: an MXU formulation (stack combos, one dot_general contracting the
+    # block dims) fails Mosaic lowering — tpu.matmul only supports a single
+    # contracting dimension — so the reduction stays on the VPU.
     for a in range(KH):
         for lo in range(nv):
             i_out = (a << nr) | lo
@@ -540,6 +543,44 @@ def _pexp_bwd(n, wires_seq, interpret, res, g):
 
 
 planar_pauli_expectation.defvjp(_pexp_fwd, _pexp_bwd)
+
+
+def planar_evolve_xla(x, mre, mim, n: int, wires):
+    """Planar gate apply in plain XLA (real einsums) — the fallback used
+    where the Pallas kernel does not apply (n < 10, odd shapes). Matrix
+    planes are in SORTED-wire order, matching planar_evolve."""
+    ws = sorted(wires)
+    k = len(ws)
+    shape = [2]
+    axes = []
+    prev = -1
+    for w in ws:
+        shape.append(1 << (w - prev - 1))
+        shape.append(2)
+        axes.append(len(shape) - 1)
+        prev = w
+    shape.append(1 << (n - 1 - prev))
+    xv = x.reshape(shape)
+    rest = [i for i in range(1, len(shape)) if i not in axes]
+    xv = jnp.transpose(xv, [0] + axes + rest)
+    pshape = xv.shape
+    xv = xv.reshape(2, 1 << k, -1)
+    hp = jax.lax.Precision.HIGHEST
+    yr = (jnp.matmul(mre, xv[0], precision=hp)
+          - jnp.matmul(mim, xv[1], precision=hp))
+    yi = (jnp.matmul(mre, xv[1], precision=hp)
+          + jnp.matmul(mim, xv[0], precision=hp))
+    y = jnp.stack([yr, yi]).reshape(pshape)
+    inv = np.argsort([0] + axes + rest)
+    return jnp.transpose(y, inv).reshape(x.shape)
+
+
+def planar_evolve_any(x, mre, mim, n: int, wires, interpret: bool = False):
+    """Kernel when supported, XLA fallback otherwise (same semantics)."""
+    ws = tuple(sorted(wires))
+    if planar_supported(n, ws):
+        return planar_evolve(x, mre, mim, n, ws, interpret)
+    return planar_evolve_xla(x, mre, mim, n, ws)
 
 
 def planar_chain_matrices(x, matrices, wires_list, n: int, interpret: bool = False):

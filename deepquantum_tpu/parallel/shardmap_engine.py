@@ -34,9 +34,19 @@ __all__ = ['ShardMapSimulator']
 
 
 class ShardMapSimulator:
-    """Pair-exchange sharded statevector simulator over a 2^k-device mesh."""
+    """Pair-exchange sharded statevector simulator over a 2^k-device mesh.
 
-    def __init__(self, nqubit: int, mesh: Mesh, axis_name: str = 'sv') -> None:
+    ``planar=True`` runs every per-shard computation on f32 re/im planes:
+    local gate groups go through the Pallas planar kernel
+    (ops/planar_gate.py, ~650 GB/s per chip) and the Alg.6-10 exchanges
+    (ppermute / half-shard swaps) move the planes directly. This is how the
+    multi-chip path rides the same roofline kernel as the single-chip
+    engine — shard_map gives Pallas the per-device shapes that GSPMD's
+    automatic partitioner cannot. Default: auto (TPU + complex64 policy).
+    """
+
+    def __init__(self, nqubit: int, mesh: Mesh, axis_name: str = 'sv',
+                 planar: bool | None = None) -> None:
         self.nqubit = nqubit
         self.mesh = mesh
         self.axis_name = axis_name
@@ -46,6 +56,11 @@ class ShardMapSimulator:
         assert self.nglobal <= nqubit
         self.nlocal = nqubit - self.nglobal
         self.sharding = NamedSharding(mesh, P(axis_name))
+        if planar is None:
+            planar = (jax.default_backend() == 'tpu'
+                      and cdtype() == jnp.complex64 and self.nlocal >= 4)
+        self.planar = planar
+        self._interp = jax.default_backend() != 'tpu'
 
     # ------------------------------------------------------------- primitives
     def _perm_pairs(self, gq: int):
@@ -77,6 +92,65 @@ class ShardMapSimulator:
         stacked1 = jnp.stack([recv, keep])   # layout when b == 1
         moved_new = jnp.where(b == 0, stacked0, stacked1)
         return jnp.moveaxis(moved_new, 0, lwire).reshape(local.shape)
+
+    # ------------------------------------------------- planar-plane primitives
+    def _one_targ_global_planar(self, lp, mre, mim, gq: int):
+        """Alg.6 pair exchange on (2, dim_local) f32 planes."""
+        other = jax.lax.ppermute(lp, self.axis_name, self._perm_pairs(gq))
+        b = self._gbit(gq)
+        mr = jnp.where(b == 0, mre[0, 0], mre[1, 1])
+        mi = jnp.where(b == 0, mim[0, 0], mim[1, 1])
+        tr = jnp.where(b == 0, mre[0, 1], mre[1, 0])
+        ti = jnp.where(b == 0, mim[0, 1], mim[1, 0])
+        yr = mr * lp[0] - mi * lp[1] + tr * other[0] - ti * other[1]
+        yi = mr * lp[1] + mi * lp[0] + tr * other[1] + ti * other[0]
+        return jnp.stack([yr, yi])
+
+    def _swap_global_local_planar(self, lp, gq: int, lwire: int):
+        """Alg.8 half-shard exchange on planes (plane axis rides along)."""
+        x = lp.reshape([2] + [2] * self.nlocal)
+        moved = jnp.moveaxis(x, lwire + 1, 1)
+        b = self._gbit(gq)
+        keep = jnp.take(moved, b, axis=1)
+        send = jnp.take(moved, 1 - b, axis=1)
+        recv = jax.lax.ppermute(send, self.axis_name, self._perm_pairs(gq))
+        stacked0 = jnp.stack([keep, recv], axis=1)
+        stacked1 = jnp.stack([recv, keep], axis=1)
+        moved_new = jnp.where(b == 0, stacked0, stacked1)
+        return jnp.moveaxis(moved_new, 1, lwire + 1).reshape(lp.shape)
+
+    def _apply_gate_planar(self, lp, mre, mim, wires):
+        """Planar twin of _apply_gate; matrix planes in SORTED-wire order."""
+        from ..ops.planar_gate import planar_evolve_any
+        k = self.nglobal
+        nl = self.nlocal
+        global_targets = [w for w in wires if w < k]
+        if not global_targets:
+            return planar_evolve_any(lp, mre, mim, nl,
+                                     tuple(w - k for w in wires), self._interp)
+        if len(wires) == 1:
+            return self._one_targ_global_planar(lp, mre, mim, wires[0])
+        used_local = {w - k for w in wires if w >= k}
+        free_local = [l for l in range(nl) if l not in used_local]
+        assert len(free_local) >= len(global_targets), 'not enough local qubits for remap'
+        remap = {}
+        for g, l in zip(global_targets, free_local):
+            lp = self._swap_global_local_planar(lp, g, l)
+            remap[g] = l
+        # the swap leaves wire ORDER intact (global slot g now holds local
+        # qubit l's role and vice versa), so matrix stays sorted-wire
+        new_wires = [remap[w] if w in remap else w - k for w in wires]
+        order = sorted(range(len(new_wires)), key=lambda i: new_wires[i])
+        if order != list(range(len(new_wires))):
+            from ..ops.apply import permute_matrix_wires
+            # planes permute independently (real linear op)
+            mre = permute_matrix_wires(mre, order)
+            mim = permute_matrix_wires(mim, order)
+        lp = planar_evolve_any(lp, mre, mim, nl, tuple(sorted(new_wires)),
+                               self._interp)
+        for g, l in reversed(list(remap.items())):
+            lp = self._swap_global_local_planar(lp, g, l)
+        return lp
 
     # ------------------------------------------------------------------- gate
     def _apply_gate(self, local, mat, wires):
@@ -148,6 +222,15 @@ class ShardMapSimulator:
         didx = None if data is None else circuit._data_indices(np.shape(data)[-1])
         return circuit._full_params(params, data, didx)
 
+    def _planar_gates(self, gates):
+        """Complex (mat, wires) list -> (mre, mim, sorted_wires) planes."""
+        from ..ops.planar_gate import _sorted_mat_planes
+        out = []
+        for mat, wires in gates:
+            mre, mim = _sorted_mat_planes(mat, wires)
+            out.append((mre, mim, sorted(wires)))
+        return out
+
     def run(self, circuit, params=None, data=None, state=None) -> jax.Array:
         """Execute a QubitCircuit IR under shard_map (data encoding and a
         custom initial state supported, matching DistributedQubitCircuit)."""
@@ -155,13 +238,25 @@ class ShardMapSimulator:
         state = self._prepare_state(state)
         gates = self._gate_list(circuit, self._full(circuit, params, data))
 
-        def program(local):
-            for mat, wires in gates:
-                local = self._apply_gate(local, mat, wires)
-            return local
+        if self.planar:
+            from ..ops.planar_gate import from_planar, to_planar
+            pgates = self._planar_gates(gates)
 
+            def program(local):
+                lp = to_planar(local)
+                for mre, mim, wires in pgates:
+                    lp = self._apply_gate_planar(lp, mre, mim, wires)
+                return from_planar(lp)
+        else:
+            def program(local):
+                for mat, wires in gates:
+                    local = self._apply_gate(local, mat, wires)
+                return local
+
+        # check_rep=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the planar path trips over inside shard_map
         fn = shard_map(program, mesh=self.mesh, in_specs=P(self.axis_name),
-                       out_specs=P(self.axis_name))
+                       out_specs=P(self.axis_name), check_rep=False)
         return jax.jit(fn)(state)
 
     def expectation(self, circuit, params=None, data=None, state=None) -> jnp.ndarray:
@@ -175,20 +270,38 @@ class ShardMapSimulator:
             obs_gates.append([(jnp.asarray(_PAULI_FNS[b](), cdtype()), [w[0]])
                               for w, b in zip(obs.wires, obs.basis)])
 
-        def program(local):
-            for mat, wires in gates:
-                local = self._apply_gate(local, mat, wires)
-            outs = []
-            for og in obs_gates:
-                ox = local
-                for mat, wires in og:
-                    ox = self._apply_gate(ox, mat, wires)
-                e = jnp.real(jnp.vdot(local, ox))
-                outs.append(jax.lax.psum(e, self.axis_name))
-            return jnp.stack(outs)
+        if self.planar:
+            from ..ops.planar_gate import to_planar
+            pgates = self._planar_gates(gates)
+            pobs = [self._planar_gates(og) for og in obs_gates]
+
+            def program(local):
+                lp = to_planar(local)
+                for mre, mim, wires in pgates:
+                    lp = self._apply_gate_planar(lp, mre, mim, wires)
+                outs = []
+                for og in pobs:
+                    ox = lp
+                    for mre, mim, wires in og:
+                        ox = self._apply_gate_planar(ox, mre, mim, wires)
+                    e = jnp.sum(lp[0] * ox[0] + lp[1] * ox[1])
+                    outs.append(jax.lax.psum(e, self.axis_name))
+                return jnp.stack(outs)
+        else:
+            def program(local):
+                for mat, wires in gates:
+                    local = self._apply_gate(local, mat, wires)
+                outs = []
+                for og in obs_gates:
+                    ox = local
+                    for mat, wires in og:
+                        ox = self._apply_gate(ox, mat, wires)
+                    e = jnp.real(jnp.vdot(local, ox))
+                    outs.append(jax.lax.psum(e, self.axis_name))
+                return jnp.stack(outs)
 
         fn = shard_map(program, mesh=self.mesh, in_specs=P(self.axis_name),
-                       out_specs=P())
+                       out_specs=P(), check_rep=False)
         return jax.jit(fn)(state)
 
     def measure(self, circuit, shots: int = 1024, params=None, data=None,

@@ -92,3 +92,32 @@ def test_planar_disabled_paths(c64):
     assert not dq.QubitCircuit(12, den_mat=True)._planar_ok()
     dq.set_dtype('complex128')
     assert not dq.QubitCircuit(12)._planar_ok()                 # x64 policy
+
+
+def test_planar_shardmap_engine(c64):
+    """Planar mode of the Alg.6-10 shard_map engine (pair exchanges move f32
+    planes; local groups hit the Pallas kernel when nlocal >= 10) against
+    the local circuit."""
+    from deepquantum_tpu.parallel import make_mesh
+    from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
+
+    rng = np.random.default_rng(5)
+    n = 6
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.rx(i, encode=True)
+    for i in range(n - 1):
+        cir.cnot(i, i + 1)
+    cir.observable(0)
+    cir.observable(list(range(n)), basis='z' * n)
+    data = rng.random(n)
+    init = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    init = (init / np.linalg.norm(init)).astype(np.complex64)
+
+    s_local = np.asarray(cir(data=data, state=init)).reshape(-1)
+    e_local = np.asarray(cir.expectation())
+    sim = ShardMapSimulator(n, make_mesh(8), planar=True)
+    np.testing.assert_allclose(np.asarray(sim.run(cir, data=data, state=init)).reshape(-1),
+                               s_local, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim.expectation(cir, data=data, state=init)),
+                               e_local, atol=1e-5)
