@@ -601,7 +601,7 @@ class QubitCircuit:
     def _planar_ok(self) -> bool:
         """Route through the Pallas planar-f32 engine (ops/planar_gate.py)?
 
-        TPU only, statevector only, complex64 policy, n >= 12, and every
+        TPU only, statevector only, complex64 policy, n >= 10, and every
         fused-plan entry a plain unitary on <= 3 wires. The planar kernel
         runs gate apply at ~650 GB/s (near the HBM roofline) vs ~140 GB/s
         for the complex einsum path.
@@ -620,7 +620,7 @@ class QubitCircuit:
             else:
                 backend_ok = jax.default_backend() == 'tpu'
             ok = (backend_ok and not self.den_mat and not self.mps
-                  and self.nqubit >= 12 and cdtype() == jnp.complex64)
+                  and self.nqubit >= 10 and cdtype() == jnp.complex64)
             if ok:
                 for entry in self._fused_plan():
                     if entry[0] == 'group':

@@ -88,7 +88,7 @@ def test_planar_circuit_expectation_and_grad(c64):
 
 def test_planar_disabled_paths(c64):
     """den_mat / mps / small-n / x64 circuits never take the planar route."""
-    assert not dq.QubitCircuit(8)._planar_ok()                  # n < 12
+    assert not dq.QubitCircuit(8)._planar_ok()                  # n < 10
     assert not dq.QubitCircuit(12, den_mat=True)._planar_ok()
     dq.set_dtype('complex128')
     assert not dq.QubitCircuit(12)._planar_ok()                 # x64 policy
