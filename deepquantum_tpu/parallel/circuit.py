@@ -21,18 +21,34 @@ __all__ = ['DistributedQubitCircuit']
 
 
 class DistributedQubitCircuit(QubitCircuit):
-    """Amplitude-sharded statevector circuit over a jax device mesh."""
+    """Amplitude-sharded statevector circuit over a jax device mesh.
+
+    engine='gspmd' (default) lets XLA choose collectives from sharding
+    annotations; engine='shardmap' pins the explicit Alg.6-10 pair-exchange
+    pattern AND runs per-shard gate groups through the planar Pallas kernel
+    on TPU (~650 GB/s per chip) — GSPMD cannot partition a custom kernel, so
+    shard_map is the engine that carries the roofline path to multi-chip.
+    """
 
     def __init__(self, nqubit: int, mesh=None, name: str | None = None,
-                 reupload: bool = False, shots: int = 1024) -> None:
+                 reupload: bool = False, shots: int = 1024,
+                 engine: str = 'gspmd') -> None:
         super().__init__(nqubit=nqubit, init_state='zeros', name=name,
                          reupload=reupload, shots=shots)
         if mesh is None:
             mesh = make_mesh()
         self.mesh = mesh
         self.sim = ShardedSimulator(nqubit, mesh)
+        assert engine in ('gspmd', 'shardmap'), engine
+        self.engine = engine
+        if engine == 'shardmap':
+            from .shardmap_engine import ShardMapSimulator
+            self._smap = ShardMapSimulator(nqubit, mesh)
 
     def forward(self, data=None, state=None, params=None):
+        if self.engine == 'shardmap':
+            self.state = self._smap.run(self, params=params, data=data, state=state)
+            return self.state
         if state is None:
             state = self.sim.init_state()
         else:
@@ -65,6 +81,8 @@ class DistributedQubitCircuit(QubitCircuit):
             outs = [make_adjoint_expectation(self, i)(p)
                     for i in range(len(self.observables))]
             return jnp.stack(outs, axis=-1)
+        if self.engine == 'shardmap':
+            return self._smap.expectation(self, params=params, data=data, state=state)
         if state is not None:
             state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1),
                                    self.sim.sharding)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..bitmath import flip_bit, get_bit, is_power_of_2, log_base2
 from ..config import cdtype, rdtype
 from ..ops.apply import controlled_matrix, evolve_state
 
@@ -51,8 +52,8 @@ class ShardMapSimulator:
         self.mesh = mesh
         self.axis_name = axis_name
         self.ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        assert self.ndev & (self.ndev - 1) == 0, 'device count must be a power of 2'
-        self.nglobal = self.ndev.bit_length() - 1
+        assert is_power_of_2(self.ndev), 'device count must be a power of 2'
+        self.nglobal = log_base2(self.ndev)
         assert self.nglobal <= nqubit
         self.nlocal = nqubit - self.nglobal
         self.sharding = NamedSharding(mesh, P(axis_name))
@@ -66,11 +67,10 @@ class ShardMapSimulator:
     def _perm_pairs(self, gq: int):
         """Rank permutation flipping global-qubit gq's rank bit (Alg.6 partner rule)."""
         shift = self.nglobal - 1 - gq
-        return [(r, r ^ (1 << shift)) for r in range(self.ndev)]
+        return [(r, flip_bit(r, shift)) for r in range(self.ndev)]
 
     def _gbit(self, gq: int):
-        shift = self.nglobal - 1 - gq
-        return (jax.lax.axis_index(self.axis_name) >> shift) & 1
+        return get_bit(jax.lax.axis_index(self.axis_name), self.nglobal - 1 - gq)
 
     def _one_targ_global(self, local, mat, gq: int):
         """Single-qubit gate on global qubit gq: one full-shard pair exchange."""

@@ -336,3 +336,31 @@ def test_sharded_train_state_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(restored['params']),
                                np.asarray(ts_ref['params']), atol=0)
     np.testing.assert_allclose(float(val_res), float(val_ref), atol=0)
+
+
+def test_distributed_engine_shardmap_option():
+    """DistributedQubitCircuit(engine='shardmap') matches the GSPMD engine
+    (forward + expectation), pinning the Alg.6-10 pair-exchange path behind
+    the same public API."""
+    n = 6
+    rng = np.random.default_rng(3)
+
+    def build(engine):
+        cir = DistributedQubitCircuit(n, mesh=make_mesh(8), engine=engine)
+        for i in range(n):
+            cir.rx(i, inputs=float(rng.random()))
+        for i in range(n - 1):
+            cir.cnot(i, i + 1)
+        cir.observable(0)
+        return cir
+
+    rng = np.random.default_rng(3)
+    g = build('gspmd')
+    rng = np.random.default_rng(3)
+    s = build('shardmap')
+    np.testing.assert_allclose(np.asarray(s.forward()).reshape(-1),
+                               np.asarray(g.forward()).reshape(-1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s.expectation()),
+                               np.asarray(g.expectation()), atol=1e-10)
+    counts = s.measure(shots=64)
+    assert isinstance(counts, dict) and sum(counts.values()) == 64
