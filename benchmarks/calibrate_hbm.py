@@ -37,6 +37,7 @@ def timed(make_loop, x0, steps, bytes_moved):
 
 
 def main(n=26, steps=30):
+    results = {}
     size = 1 << n                                   # elements
     f32_bytes = 4 * size
 
@@ -52,6 +53,7 @@ def main(n=26, steps=30):
         return loop
 
     ms, gbps = timed(stream, x, steps, 2 * f32_bytes)
+    results['f32_stream_gbps'] = round(gbps, 1)
     print(f'f32 stream   n=2^{n}: {ms:7.3f} ms  {gbps:6.1f} GB/s')
 
     # -- 2. f32 triad (read 2, write 1)
@@ -67,6 +69,7 @@ def main(n=26, steps=30):
         return loop
 
     ms, gbps = timed(triad, (x, x2), steps, 3 * f32_bytes)
+    results['f32_triad_gbps'] = round(gbps, 1)
     print(f'f32 triad    n=2^{n}: {ms:7.3f} ms  {gbps:6.1f} GB/s')
 
     # -- 3. c64 stream (built on device; complex can't cross the tunnel)
@@ -80,6 +83,7 @@ def main(n=26, steps=30):
         return loop
 
     ms, gbps = timed(c64_stream, x[: size // 2], steps, 2 * 8 * (size // 2))
+    results['c64_stream_gbps'] = round(gbps, 1)
     print(f'c64 stream   n=2^{n - 1}: {ms:7.3f} ms  {gbps:6.1f} GB/s')
 
     # -- 4. planar 8x8 combo: state (8, M) re+im planes, y = A@xr etc.
@@ -130,7 +134,21 @@ def main(n=26, steps=30):
         return loop
 
     ms, gbps = timed(c64_gemm, x[: size // 2], steps, 2 * 8 * (size // 2))
+    results['c64_gemm128_gbps'] = round(gbps, 1)
     print(f'c64 gemm128  n=2^{n - 1}: {ms:7.3f} ms  {gbps:6.1f} GB/s')
+
+    # merge into the tracked results file so the roofline denominators ship
+    # with the benchmark record
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results.json')
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data['hbm_calibration_gbps'] = results
+    with open(path, 'w') as f:
+        json.dump(data, f, indent=2)
+    print(f'wrote {path}')
 
 
 if __name__ == '__main__':
