@@ -656,6 +656,36 @@ class QubitCircuit:
                                   interpret=interp)
         return from_planar(p).reshape([2] * n)
 
+    def _sim_planar_batched(self, fulls: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
+        """Batched planar engine: states (B, dim) complex, fulls (B, P) per-
+        sample full parameters. The batch is a KERNEL GRID axis
+        (ops/planar_gate.py), not a jax.vmap axis — pallas_call does not
+        vmap, and falling back to the complex engine costs 4-6x. This is the
+        reference's batched-QML use case (circuit.py:232-240) on the TPU
+        hot path."""
+        from .ops.apply import controlled_matrix
+        from .ops.planar_gate import (_sorted_mat_planes, from_planar,
+                                      planar_chain, to_planar_batched)
+        n = self.nqubit
+        interp = jax.default_backend() != 'tpu'
+        mres, mims, wseq = [], [], []
+        for entry in self._fused_plan():
+            if entry[0] == 'op':
+                op = entry[1]
+                wires = list(op.controls) + list(op.wires)
+                mats = jax.vmap(lambda fp: controlled_matrix(
+                    jnp.asarray(op.matrix(fp), cdtype()), len(op.controls)))(fulls)
+            else:
+                wires = list(entry[2])
+                mats = jax.vmap(lambda fp: self._fused_matrix(entry, fp)[0])(fulls)
+            mre, mim = _sorted_mat_planes(mats, wires)
+            mres.append(mre)
+            mims.append(mim)
+            wseq.append(tuple(sorted(wires)))
+        p = planar_chain(to_planar_batched(states), tuple(mres), tuple(mims),
+                         n, tuple(wseq), interp)
+        return from_planar(p)
+
     def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
         n = self.nqubit
@@ -754,6 +784,18 @@ class QubitCircuit:
                     return self._run_flat(full, s)
                 if data_.ndim == 1:
                     return one(data_, state_)
+                if self._planar_ok() and not self.den_mat:
+                    # batched planar path: the batch rides the kernel grid
+                    fulls = jax.vmap(lambda d: self._full_params(
+                        params_, d, data_idx))(data_)
+                    dim = 2 ** self.nqubit
+                    if single:
+                        states = jnp.broadcast_to(state_.reshape(-1)[None, :],
+                                                  (data_.shape[0], dim))
+                    else:
+                        states = state_.reshape(data_.shape[0], dim)
+                    out = self._sim_planar_batched(fulls, states)
+                    return out.reshape(data_.shape[0], dim, 1)
                 in_axes = (0, None) if single else (0, 0)
                 self._planar_block = True      # pallas kernels don't vmap
                 try:
@@ -871,7 +913,38 @@ class QubitCircuit:
                     vals.append(expectation_pauli(x, ox))
             return jnp.stack(vals, axis=-1)
         batched = (state.ndim == 3)
-        fn = one_state_expvals if not batched else jax.vmap(one_state_expvals)
+        if batched and not den and self._planar_ok():
+            # batched planar Pauli expectation: batch on the kernel grid
+            # (pallas does not vmap); obs planes broadcast across the batch
+            def fn(states):
+                from .ops.planar_gate import (planar_pauli_expectation,
+                                              to_planar_batched)
+                interp = jax.default_backend() != 'tpu'
+                pauli_np = {'x': np.array([[0, 1], [1, 0]], np.complex64),
+                            'y': np.array([[0, -1j], [1j, 0]], np.complex64),
+                            'z': np.array([[1, 0], [0, -1]], np.complex64)}
+                bsz = states.shape[0]
+                xp = to_planar_batched(states.reshape(bsz, -1))
+                vals = []
+                for obs in self.observables:
+                    pairs = sorted((w[0], b) for w, b in zip(obs.wires, obs.basis))
+                    mres, mims, wseq = [], [], []
+                    for i in range(0, len(pairs), 3):
+                        chunk = pairs[i:i + 3]
+                        mat = np.array([[1]], np.complex64)
+                        for _, b in chunk:
+                            mat = np.kron(mat, pauli_np[b])
+                        kk = mat.shape[0]
+                        mres.append(jnp.broadcast_to(
+                            jnp.asarray(mat.real, jnp.float32), (bsz, kk, kk)))
+                        mims.append(jnp.broadcast_to(
+                            jnp.asarray(mat.imag, jnp.float32), (bsz, kk, kk)))
+                        wseq.append(tuple(w for w, _ in chunk))
+                    vals.append(planar_pauli_expectation(
+                        xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
+                return jnp.stack(vals, axis=-1)
+        else:
+            fn = one_state_expvals if not batched else jax.vmap(one_state_expvals)
         if _eager():
             key = ('expval', self._version, len(self.observables),
                    tuple(tuple(map(tuple, o.wires)) + (o.basis,) for o in self.observables),

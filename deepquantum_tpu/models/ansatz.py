@@ -2,6 +2,12 @@
 
 All circuits are built on the QubitCircuit IR; sub-circuits compose by
 ``add`` (parameters copied), and gate sharing uses descriptor re-adding.
+
+Porting note: the gate sequences here (QFT, QPE, HHL, the Beauregard/Vedral
+Shor arithmetic blocks) are the canonical textbook constructions and follow
+the reference's class surface and argument conventions (ansatz.py:14-763)
+for API parity; the simulation/execution machinery underneath is this
+repo's own (circuit.py planar/XLA engines, descriptor IR).
 """
 
 from __future__ import annotations
@@ -63,7 +69,7 @@ class Ansatz(QubitCircuit):
         ancilla = [] if ancilla is None else ([ancilla] if isinstance(ancilla, int) else list(ancilla))
         controls = [] if controls is None else ([controls] if isinstance(controls, int) else list(controls))
         for wire in wires:
-            assert wire not in ancilla and wire not in controls, 'Use repeated wires'
+            assert wire not in ancilla and wire not in controls, 'wires must not overlap ancilla or controls'
         self.wires = sorted(wires)
         self.minmax = [min(wires), max(wires)]
         self.ancilla = ancilla
@@ -101,24 +107,24 @@ class QuantumPhaseEstimation(Ansatz):
                  mps=False, chi=None, show_barrier: bool = False) -> None:
         unitary = np.asarray(unitary, dtype=np.complex128)
         assert is_unitary(unitary)
-        nreg_i = int(np.log2(len(unitary)))
+        n_target = int(np.log2(len(unitary)))
         if minmax is None:
-            minmax = [0, ncount + nreg_i - 1]
-        assert minmax[1] - minmax[0] == ncount + nreg_i - 1
+            minmax = [0, ncount + n_target - 1]
+        assert minmax[1] - minmax[0] == ncount + n_target - 1
         self.unitary = unitary
         super().__init__(nqubit=nqubit, minmax=minmax, name='QuantumPhaseEstimation',
                          den_mat=den_mat, mps=mps, chi=chi)
-        wires_c = list(range(minmax[0], minmax[0] + ncount))
-        wires_i = list(range(minmax[0] + ncount, minmax[1] + 1))
-        self.hlayer(wires_c)
+        count_wires = list(range(minmax[0], minmax[0] + ncount))
+        target_wires = list(range(minmax[0] + ncount, minmax[1] + 1))
+        self.hlayer(count_wires)
         if show_barrier:
             self.barrier()
-        for i, wire in enumerate(wires_c):
+        for i, wire in enumerate(count_wires):
             u = np.linalg.matrix_power(self.unitary, 2 ** (ncount - 1 - i))
-            self.any(unitary=u, wires=wires_i, controls=wire)
+            self.any(unitary=u, wires=target_wires, controls=wire)
         if show_barrier:
             self.barrier()
-        iqft = QuantumFourierTransform(nqubit=nqubit, minmax=[wires_c[0], wires_c[-1]],
+        iqft = QuantumFourierTransform(nqubit=nqubit, minmax=[count_wires[0], count_wires[-1]],
                                        den_mat=den_mat, mps=mps, chi=chi).inverse()
         self.add(iqft)
 
@@ -150,8 +156,8 @@ class HHL(Ansatz):
         from scipy.linalg import expm
         unitary = expm(1j * mat * t0 / 2 ** ncount)
         assert is_unitary(unitary)
-        nreg_i = int(np.log2(len(unitary)))
-        nqubit = 1 + ncount + nreg_i
+        n_target = int(np.log2(len(unitary)))
+        nqubit = 1 + ncount + n_target
         self.unitary = unitary
         super().__init__(nqubit=nqubit, name='HHL', den_mat=den_mat, mps=mps, chi=chi)
         qpe = QuantumPhaseEstimation(nqubit=nqubit, ncount=ncount, unitary=unitary,

@@ -60,15 +60,24 @@ _RB_BITS_MAX = 7       # rows per block: RB = 128 (measured fastest, see header)
 
 
 def to_planar(psi: jnp.ndarray) -> jnp.ndarray:
-    """complex (…,) statevector -> (2, N) f32 planes."""
+    """complex (…,) statevector -> (2, N) real planes (policy real dtype:
+    f32 on TPU, f64 under the x64 oracle-test policy)."""
+    from ..config import rdtype
     flat = psi.reshape(-1)
-    return jnp.stack([jnp.real(flat).astype(jnp.float32),
-                      jnp.imag(flat).astype(jnp.float32)])
+    return jnp.stack([jnp.real(flat).astype(rdtype()),
+                      jnp.imag(flat).astype(rdtype())])
 
 
 def from_planar(x: jnp.ndarray) -> jnp.ndarray:
-    """(2, N) f32 planes -> complex64 flat statevector."""
-    return jax.lax.complex(x[0], x[1])
+    """(…, 2, N) real planes -> complex (…, N) statevector."""
+    return jax.lax.complex(x[..., 0, :], x[..., 1, :])
+
+
+def to_planar_batched(psi: jnp.ndarray) -> jnp.ndarray:
+    """complex (B, dim) batch -> (B, 2, dim) real planes."""
+    from ..config import rdtype
+    return jnp.stack([jnp.real(psi).astype(rdtype()),
+                      jnp.imag(psi).astype(rdtype())], axis=1)
 
 
 def planar_supported(n: int, wires) -> bool:
@@ -187,18 +196,10 @@ def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
         y_ref[(1,) + h_index(a)] = outi
 
 
-def _planar_apply(x, mre, mim, n: int, wires, interpret: bool = False):
-    """x: (2, 2^n) f32; m planes: (K, K) f32 in SORTED-wire order.
-
-    NOT wrapped in jax.jit: an inner jit boundary would block XLA from
-    donating the state buffer into the aliased pallas_call when this is
-    traced inside an outer jit/scan — measured as a 3.4x slowdown (extra
-    2^n copy per gate). Always call under an outer jit.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    ws = sorted(wires)
+def _geometry(n: int, ws):
+    """Shared block geometry for the forward and grad kernels: the logical
+    view exposing head wires as (2, A0, 2, A1, 2, ..., Ak, RB, T), the
+    per-block roll recipe for mid/tail wires, and the BlockSpec pieces."""
     head, mid, tail, rb_bits = _classify(n, ws)
     kh = len(head)
     rb = 1 << rb_bits
@@ -211,7 +212,6 @@ def _planar_apply(x, mre, mim, n: int, wires, interpret: bool = False):
         b = n - 1 - w
         roll_info.append((1, 1 << b))                 # lane stride
 
-    # logical view exposing head wires: (2, A0, 2, A1, 2, ..., Ak, RB, T)
     shape = [2]
     grid_axes = []
     prev_bit = n                                       # exclusive upper bit
@@ -228,28 +228,66 @@ def _planar_apply(x, mre, mim, n: int, wires, interpret: bool = False):
     shape.append(rb)
     shape.append(_T)
 
-    xv = x.reshape(shape)
     block = [2]
     for _ in head:
         block.extend([1, 2])
     block.extend([1, rb, _T])
+    return kh, rb, roll_info, shape, grid_axes, block
 
-    ndim_grid = len(grid_axes)
 
-    def index_map(*gids):
-        out = [0]
-        for i in range(kh):
-            out.extend([gids[i], 0])
-        out.extend([gids[kh], 0, 0])
-        return tuple(out)
+def _planar_apply(x, mre, mim, n: int, wires, interpret: bool = False):
+    """x: (2, 2^n) f32 — or (B, 2, 2^n) batched with per-sample matrix
+    planes (B, K, K); m planes in SORTED-wire order. A batched state adds a
+    leading grid dimension (one kernel invocation per (sample, block)); the
+    kernel body is unchanged because the batch block axis is squeezed out
+    (None in block_shape). This is how vmapped QML training rides the
+    kernel: the batch is a grid axis, not a vmap axis.
 
+    NOT wrapped in jax.jit: an inner jit boundary would block XLA from
+    donating the state buffer into the aliased pallas_call when this is
+    traced inside an outer jit/scan — measured as a 3.4x slowdown (extra
+    2^n copy per gate). Always call under an outer jit.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ws = sorted(wires)
+    kh, rb, roll_info, shape, grid_axes, block = _geometry(n, ws)
+    batched = x.ndim == 3
+    if batched:
+        assert mre.ndim == 3, 'batched state needs batched matrix planes'
+        bsz = x.shape[0]
+        shape = [bsz] + shape
+        block = [None] + block
+        grid_axes = [bsz] + grid_axes
+
+        def index_map(bid, *gids):
+            out = [bid, 0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
+
+        mspec = pl.BlockSpec((None,) + mre.shape[1:],
+                             lambda bid, *g: (bid,) + (0,) * (mre.ndim - 1),
+                             memory_space=pltpu.SMEM)
+    else:
+        def index_map(*gids):
+            out = [0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
+
+        mspec = pl.BlockSpec(mre.shape, lambda *g: (0,) * mre.ndim,
+                             memory_space=pltpu.SMEM)
+
+    xv = x.reshape(shape)
     kernel = functools.partial(
         _kernel_body, kh=kh, roll_info=roll_info, rb=rb,
         koff=kh + len(roll_info))
 
     spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec(mre.shape, lambda *g: (0,) * mre.ndim,
-                         memory_space=pltpu.SMEM)
     y = pl.pallas_call(
         kernel,
         grid=tuple(grid_axes),
@@ -259,7 +297,7 @@ def _planar_apply(x, mre, mim, n: int, wires, interpret: bool = False):
         input_output_aliases={0: 0},
         interpret=interpret,
     )(xv, mre, mim)
-    return y.reshape(2, -1)
+    return y.reshape(x.shape)
 
 
 def _grad_kernel_body(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
@@ -342,87 +380,92 @@ def _grad_kernel_body(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
 
 
 def _planar_grad(g, x, n: int, wires, interpret: bool = False):
-    """Matrix-plane cotangents (dmre, dmim), each (K, K) f32, via one Pallas
-    reduction pass over g and x (no transposes, no big temporaries)."""
+    """Matrix-plane cotangents (dmre, dmim), each (K, K) f32 — or (B, K, K)
+    for batched (B, 2, 2^n) inputs — via one Pallas reduction pass over g
+    and x (no transposes, no big temporaries)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ws = sorted(wires)
-    head, mid, tail, rb_bits = _classify(n, ws)
-    kh = len(head)
-    rb = 1 << rb_bits
     K = 1 << len(ws)
-
-    roll_info = []
-    for w in mid:
-        b = n - 1 - w
-        roll_info.append((0, 1 << (b - _T_BITS)))
-    for w in tail:
-        b = n - 1 - w
-        roll_info.append((1, 1 << b))
-
-    shape = [2]
-    grid_axes = []
-    prev_bit = n
-    for w in head:
-        b = n - 1 - w
-        gap = prev_bit - b - 1
-        shape.append(1 << gap)
-        grid_axes.append(1 << gap)
-        shape.append(2)
-        prev_bit = b
-    low_bits = prev_bit - _T_BITS - rb_bits
-    shape.append(1 << max(low_bits, 0))
-    grid_axes.append(1 << max(low_bits, 0))
-    shape.append(rb)
-    shape.append(_T)
-
-    block = [2]
-    for _ in head:
-        block.extend([1, 2])
-    block.extend([1, rb, _T])
-
-    def index_map(*gids):
-        out = [0]
-        for i in range(kh):
-            out.extend([gids[i], 0])
-        out.extend([gids[kh], 0, 0])
-        return tuple(out)
-
+    kh, rb, roll_info, shape, grid_axes, block = _geometry(n, ws)
+    batched = g.ndim == 3
     nblocks = int(np.prod(grid_axes))
+    if batched:
+        bsz = g.shape[0]
+        shape = [bsz] + shape
+        block = [None] + block
+        full_grid = [bsz] + grid_axes
 
-    def out_index(*gids):
-        flat = 0
-        for i, ax in enumerate(grid_axes):
-            flat = flat * ax + gids[i]
-        return (flat, 0, 0, 0)
+        def index_map(bid, *gids):
+            out = [bid, 0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
 
+        def out_index(bid, *gids):
+            flat = 0
+            for i, ax in enumerate(grid_axes):
+                flat = flat * ax + gids[i]
+            return (bid * nblocks + flat, 0, 0, 0)
+    else:
+        bsz = None
+        full_grid = grid_axes
+
+        def index_map(*gids):
+            out = [0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
+
+        def out_index(*gids):
+            flat = 0
+            for i, ax in enumerate(grid_axes):
+                flat = flat * ax + gids[i]
+            return (flat, 0, 0, 0)
+
+    nout = nblocks if bsz is None else bsz * nblocks
     kernel = functools.partial(_grad_kernel_body, kh=kh, roll_info=roll_info, rb=rb)
     spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
     # scalar stores are an SMEM-only operation on TPU
     out_spec = pl.BlockSpec((1, 2, K, K), out_index, memory_space=pltpu.SMEM)
     parts = pl.pallas_call(
         kernel,
-        grid=tuple(grid_axes),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 2, K, K), jnp.float32),
+        grid=tuple(full_grid),
+        out_shape=jax.ShapeDtypeStruct((nout, 2, K, K), jnp.float32),
         in_specs=[spec, spec],
         out_specs=out_spec,
         interpret=interpret,
     )(g.reshape(shape), x.reshape(shape))
+    if batched:
+        total = jnp.sum(parts.reshape(bsz, nblocks, 2, K, K), axis=1)
+        return total[:, 0], total[:, 1]
     total = jnp.sum(parts, axis=0)
     return total[0], total[1]
 
 
+def _mT(m):
+    """Matrix transpose that leaves any leading batch axes alone."""
+    return jnp.swapaxes(m, -1, -2)
+
+
 def _sorted_mat_planes(matrix, wires):
-    """Permute the (2^k, 2^k) complex gate matrix from wires-list order to
-    sorted-wire order and split into f32 planes."""
+    """Permute the complex gate matrix (2^k, 2^k), or a batch (B, 2^k, 2^k),
+    from wires-list order to sorted-wire order and split into real planes
+    (policy real dtype)."""
+    from ..config import rdtype
     from .apply import permute_matrix_wires
     ws = list(wires)
     order = sorted(range(len(ws)), key=lambda i: ws[i])
     if order != list(range(len(ws))):
-        matrix = permute_matrix_wires(matrix, order)
-    return (jnp.real(matrix).astype(jnp.float32),
-            jnp.imag(matrix).astype(jnp.float32))
+        if matrix.ndim == 3:
+            matrix = jax.vmap(lambda m: permute_matrix_wires(m, order))(matrix)
+        else:
+            matrix = permute_matrix_wires(matrix, order)
+    return (jnp.real(matrix).astype(rdtype()),
+            jnp.imag(matrix).astype(rdtype()))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -452,8 +495,8 @@ def _bwd(n, wires, interpret, res, g):
     - gr_i xi_j; dL/dx = Ur^T g_r-parts (implemented as the same kernel with
     planes (Ur^T, -Ui^T))."""
     y, mre, mim = res
-    mre_t = mre.T
-    mim_t = -mim.T
+    mre_t = _mT(mre)
+    mim_t = -_mT(mim)
     x = _planar_apply(y, mre_t, mim_t, n, tuple(wires), interpret)
     dmre, dmim = _planar_grad(g, x, n, tuple(wires), interpret)
     dx = _planar_apply(g, mre_t, mim_t, n, tuple(wires), interpret)
@@ -501,8 +544,8 @@ def _chain_bwd(n, wires_seq, interpret, res, g):
     dres = [None] * len(mres)
     dims = [None] * len(mres)
     for i in range(len(mres) - 1, -1, -1):
-        mre_t = mres[i].T
-        mim_t = -mims[i].T
+        mre_t = _mT(mres[i])
+        mim_t = -_mT(mims[i])
         x = _planar_apply(y, mre_t, mim_t, n, wires_seq[i], interpret)
         dres[i], dims[i] = _planar_grad(g, x, n, wires_seq[i], interpret)
         g = _planar_apply(g, mre_t, mim_t, n, wires_seq[i], interpret)
@@ -523,20 +566,22 @@ def planar_pauli_expectation(x, mres, mims, n: int, wires_seq, interpret: bool =
     ox = x
     for mre, mim, ws in zip(mres, mims, wires_seq):
         ox = _planar_apply(ox, mre, mim, n, ws, interpret)
-    return jnp.sum(x[0] * ox[0] + x[1] * ox[1])
+    return jnp.sum(x[..., 0, :] * ox[..., 0, :] + x[..., 1, :] * ox[..., 1, :],
+                   axis=-1)
 
 
 def _pexp_fwd(x, mres, mims, n, wires_seq, interpret):
     ox = x
     for mre, mim, ws in zip(mres, mims, wires_seq):
         ox = _planar_apply(ox, mre, mim, n, ws, interpret)
-    e = jnp.sum(x[0] * ox[0] + x[1] * ox[1])
+    e = jnp.sum(x[..., 0, :] * ox[..., 0, :] + x[..., 1, :] * ox[..., 1, :],
+                axis=-1)
     return e, (ox, mres, mims)
 
 
 def _pexp_bwd(n, wires_seq, interpret, res, g):
     ox, mres, mims = res
-    dx = (2.0 * g) * ox
+    dx = 2.0 * jnp.asarray(g)[..., None, None] * ox
     zr = tuple(jnp.zeros_like(m) for m in mres)
     zi = tuple(jnp.zeros_like(m) for m in mims)
     return dx, zr, zi
@@ -545,11 +590,11 @@ def _pexp_bwd(n, wires_seq, interpret, res, g):
 planar_pauli_expectation.defvjp(_pexp_fwd, _pexp_bwd)
 
 
-def planar_evolve_xla(x, mre, mim, n: int, wires):
-    """Planar gate apply in plain XLA (real einsums) — the fallback used
-    where the Pallas kernel does not apply (n < 10, odd shapes). Matrix
-    planes are in SORTED-wire order, matching planar_evolve."""
-    ws = sorted(wires)
+def _combo_view(x, n: int, ws):
+    """(2, 2^n) planes -> (2, 2^k, M) with the k sorted wires' bit
+    combinations as the middle axis (row order = sorted-wire order).
+    Returns (combos, restore) where restore maps a same-shaped combo
+    array back to (2, 2^n)."""
     k = len(ws)
     shape = [2]
     axes = []
@@ -564,15 +609,58 @@ def planar_evolve_xla(x, mre, mim, n: int, wires):
     rest = [i for i in range(1, len(shape)) if i not in axes]
     xv = jnp.transpose(xv, [0] + axes + rest)
     pshape = xv.shape
-    xv = xv.reshape(2, 1 << k, -1)
+    inv = np.argsort([0] + axes + rest)
+
+    def restore(y):
+        return jnp.transpose(y.reshape(pshape), inv).reshape(x.shape)
+
+    return xv.reshape(2, 1 << k, -1), restore
+
+
+def planar_evolve_xla(x, mre, mim, n: int, wires):
+    """Planar gate apply in plain XLA (real matmuls) — the fallback used
+    where the Pallas kernel does not apply (n < 10, odd shapes, non-f32).
+    Matrix planes are in SORTED-wire order, matching planar_evolve."""
+    xv, restore = _combo_view(x, n, sorted(wires))
     hp = jax.lax.Precision.HIGHEST
     yr = (jnp.matmul(mre, xv[0], precision=hp)
           - jnp.matmul(mim, xv[1], precision=hp))
     yi = (jnp.matmul(mre, xv[1], precision=hp)
           + jnp.matmul(mim, xv[0], precision=hp))
-    y = jnp.stack([yr, yi]).reshape(pshape)
-    inv = np.argsort([0] + axes + rest)
-    return jnp.transpose(y, inv).reshape(x.shape)
+    return restore(jnp.stack([yr, yi]))
+
+
+def planar_grad_xla(g, x, n: int, wires):
+    """Matrix-plane cotangents (dmre, dmim) in plain XLA — fallback twin of
+    _planar_grad. dmre[i,j] = sum_m gr_i[m] xr_j[m] + gi_i[m] xi_j[m];
+    dmim[i,j] = sum_m gi_i[m] xr_j[m] - gr_i[m] xi_j[m]."""
+    ws = sorted(wires)
+    gv, _ = _combo_view(g, n, ws)
+    xv, _ = _combo_view(x, n, ws)
+    hp = jax.lax.Precision.HIGHEST
+    dmre = (jnp.matmul(gv[0], xv[0].T, precision=hp)
+            + jnp.matmul(gv[1], xv[1].T, precision=hp))
+    dmim = (jnp.matmul(gv[1], xv[0].T, precision=hp)
+            - jnp.matmul(gv[0], xv[1].T, precision=hp))
+    return dmre, dmim
+
+
+def apply_raw(x, mre, mim, n: int, wires, use_pallas: bool, interpret: bool = False):
+    """Undifferentiated single-gate planar apply: Pallas kernel when allowed
+    and supported, XLA matmul fallback otherwise. For use INSIDE chain-level
+    custom VJPs (the per-gate custom VJP of planar_evolve must not nest)."""
+    ws = tuple(sorted(wires))
+    if use_pallas and planar_supported(n, ws) and x.dtype == jnp.float32:
+        return _planar_apply(x, mre, mim, n, ws, interpret)
+    return planar_evolve_xla(x, mre, mim, n, ws)
+
+
+def grad_raw(g, x, n: int, wires, use_pallas: bool, interpret: bool = False):
+    """Undifferentiated matrix-cotangent reduction: Pallas when allowed."""
+    ws = tuple(sorted(wires))
+    if use_pallas and planar_supported(n, ws) and g.dtype == jnp.float32:
+        return _planar_grad(g, x, n, ws, interpret)
+    return planar_grad_xla(g, x, n, ws)
 
 
 def planar_evolve_any(x, mre, mim, n: int, wires, interpret: bool = False):

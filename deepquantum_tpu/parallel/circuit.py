@@ -23,23 +23,30 @@ __all__ = ['DistributedQubitCircuit']
 class DistributedQubitCircuit(QubitCircuit):
     """Amplitude-sharded statevector circuit over a jax device mesh.
 
-    engine='gspmd' (default) lets XLA choose collectives from sharding
-    annotations; engine='shardmap' pins the explicit Alg.6-10 pair-exchange
-    pattern AND runs per-shard gate groups through the planar Pallas kernel
-    on TPU (~650 GB/s per chip) — GSPMD cannot partition a custom kernel, so
-    shard_map is the engine that carries the roofline path to multi-chip.
+    engine='gspmd' lets XLA choose collectives from sharding annotations;
+    engine='shardmap' pins the explicit Alg.6-10 pair-exchange pattern AND
+    runs per-shard gate groups through the planar Pallas kernel on TPU
+    (~650 GB/s per chip) — GSPMD cannot partition a custom kernel, so
+    shard_map is the engine that carries the roofline path to multi-chip,
+    and its chain-level custom VJP makes the whole distributed program
+    differentiable with O(1) residual memory (shardmap_engine.py).
+    engine='auto' (default) picks shardmap on TPU under the complex64
+    policy, gspmd elsewhere.
     """
 
     def __init__(self, nqubit: int, mesh=None, name: str | None = None,
                  reupload: bool = False, shots: int = 1024,
-                 engine: str = 'gspmd') -> None:
+                 engine: str = 'auto') -> None:
         super().__init__(nqubit=nqubit, init_state='zeros', name=name,
                          reupload=reupload, shots=shots)
         if mesh is None:
             mesh = make_mesh()
         self.mesh = mesh
         self.sim = ShardedSimulator(nqubit, mesh)
-        assert engine in ('gspmd', 'shardmap'), engine
+        assert engine in ('auto', 'gspmd', 'shardmap'), engine
+        if engine == 'auto':
+            engine = ('shardmap' if jax.default_backend() == 'tpu'
+                      and cdtype() == jnp.complex64 else 'gspmd')
         self.engine = engine
         if engine == 'shardmap':
             from .shardmap_engine import ShardMapSimulator
@@ -47,7 +54,15 @@ class DistributedQubitCircuit(QubitCircuit):
 
     def forward(self, data=None, state=None, params=None):
         if self.engine == 'shardmap':
-            self.state = self._smap.run(self, params=params, data=data, state=state)
+            key = ('smfwd', self._version, None if data is None else jnp.shape(data),
+                   state is None)
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = jax.jit(lambda p, d, s: self._smap._traced_run(self, p, d, s))
+                self._cache[key] = fn
+            p = None if params is None else jnp.asarray(params, rdtype())
+            s = self._smap._prepare_state(state)
+            self.state = fn(p, data, s)
             return self.state
         if state is None:
             state = self.sim.init_state()
@@ -82,7 +97,15 @@ class DistributedQubitCircuit(QubitCircuit):
                     for i in range(len(self.observables))]
             return jnp.stack(outs, axis=-1)
         if self.engine == 'shardmap':
-            return self._smap.expectation(self, params=params, data=data, state=state)
+            key = ('smexp', self._version, None if data is None else jnp.shape(data),
+                   state is None)
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = jax.jit(lambda p, d, s: self._smap._traced_exp(self, p, d, s))
+                self._cache[key] = fn
+            p = None if params is None else jnp.asarray(params, rdtype())
+            s = self._smap._prepare_state(state)
+            return fn(p, data, s)
         if state is not None:
             state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1),
                                    self.sim.sharding)

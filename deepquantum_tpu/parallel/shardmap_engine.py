@@ -16,11 +16,28 @@ engine pins the exact communication pattern of the reference:
   reference distributed.py:288).
 
 Qubit 0..k-1 (most significant) are the global qubits on a 2^k-device mesh.
+
+The whole engine works on REAL PLANES (2, dim_local): the circuit is
+compiled at trace time into a static ``program`` of steps plus per-step
+matrix planes, and executed by chain-level ``jax.custom_vjp`` functions
+(:func:`shardmap_chain`, :func:`shardmap_expectation`) that span the entire
+per-shard computation — exchanges included. This is what makes multi-chip
+training ride the Pallas roofline kernel: under plain ``jax.grad`` each
+per-gate in-place kernel's output would be saved as a residual, forcing a
+state copy per gate (measured ~2.4x, see ops/planar_gate.py); the chain VJP
+stores only the FINAL planes and the backward *un-applies* each step —
+gates are unitary (apply U^H), exchanges are their own inverse pattern —
+recovering inputs on the fly, exactly the adjoint-method trick of
+reference adjoint.py:43-83 lifted to the distributed program. Matrix
+cotangents reduce per shard (Pallas grad kernel on TPU, matmul fallback
+elsewhere); shard_map's transpose machinery psums the replicated-input
+cotangents across the mesh.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,21 +46,228 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bitmath import flip_bit, get_bit, is_power_of_2, log_base2
 from ..config import cdtype, rdtype
-from ..ops.apply import controlled_matrix, evolve_state
+from ..ops.apply import controlled_matrix, permute_matrix_wires
+from ..ops.planar_gate import (apply_raw, from_planar, grad_raw, to_planar)
 
-__all__ = ['ShardMapSimulator']
+__all__ = ['ShardMapSimulator', 'shardmap_chain', 'shardmap_expectation']
 
 
+class _Cfg(NamedTuple):
+    """Static per-engine geometry, hashable for custom_vjp nondiff args."""
+    nglobal: int
+    nlocal: int
+    axis_name: str
+    use_pallas: bool
+    interp: bool
+
+
+# --------------------------------------------------------------- primitives
+def _perm_pairs(cfg: _Cfg, gq: int):
+    """Rank permutation flipping global-qubit gq's rank bit (Alg.6 partner rule)."""
+    shift = cfg.nglobal - 1 - gq
+    return [(r, flip_bit(r, shift)) for r in range(1 << cfg.nglobal)]
+
+
+def _gbit(cfg: _Cfg, gq: int):
+    return get_bit(jax.lax.axis_index(cfg.axis_name), cfg.nglobal - 1 - gq)
+
+
+def _g1_apply(cfg: _Cfg, lp, mre, mim, gq: int):
+    """Single-qubit gate on global qubit gq: one full-shard pair exchange
+    (Alg.6) on (2, dim_local) planes. Matrix planes are plain (2, 2)."""
+    other = jax.lax.ppermute(lp, cfg.axis_name, _perm_pairs(cfg, gq))
+    b = _gbit(cfg, gq)
+    mr = jnp.where(b == 0, mre[0, 0], mre[1, 1])
+    mi = jnp.where(b == 0, mim[0, 0], mim[1, 1])
+    tr = jnp.where(b == 0, mre[0, 1], mre[1, 0])
+    ti = jnp.where(b == 0, mim[0, 1], mim[1, 0])
+    yr = mr * lp[0] - mi * lp[1] + tr * other[0] - ti * other[1]
+    yi = mr * lp[1] + mi * lp[0] + tr * other[1] + ti * other[0]
+    return jnp.stack([yr, yi])
+
+
+def _swap_gl(cfg: _Cfg, lp, gq: int, lwire: int):
+    """Swap global qubit gq with local qubit lwire: half-shard exchange
+    (Alg.8). A real permutation of the full state — orthogonal and its own
+    inverse, so it serves as both forward and adjoint."""
+    x = lp.reshape([2] + [2] * cfg.nlocal)
+    moved = jnp.moveaxis(x, lwire + 1, 1)
+    b = _gbit(cfg, gq)
+    keep = jnp.take(moved, b, axis=1)
+    send = jnp.take(moved, 1 - b, axis=1)
+    recv = jax.lax.ppermute(send, cfg.axis_name, _perm_pairs(cfg, gq))
+    stacked0 = jnp.stack([keep, recv], axis=1)   # layout when b == 0
+    stacked1 = jnp.stack([recv, keep], axis=1)   # layout when b == 1
+    moved_new = jnp.where(b == 0, stacked0, stacked1)
+    return jnp.moveaxis(moved_new, 1, lwire + 1).reshape(lp.shape)
+
+
+# ------------------------------------------------------------ program steps
+# A program is a tuple of hashable steps, one per fused gate:
+#   ('local', ws)          ws: sorted local-wire tuple; planes in sorted order
+#   ('g1', gq)             single-qubit gate on global qubit gq; (2,2) planes
+#   ('remap', swaps, ws)   swaps: ((gq, lwire), ...) applied in order, then a
+#                          local apply on sorted wires ws (planes pre-permuted
+#                          to that order), then the swaps undone in reverse.
+
+def _step_apply(cfg: _Cfg, lp, mre, mim, step):
+    kind = step[0]
+    if kind == 'local':
+        return apply_raw(lp, mre, mim, cfg.nlocal, step[1],
+                         cfg.use_pallas, cfg.interp)
+    if kind == 'g1':
+        return _g1_apply(cfg, lp, mre, mim, step[1])
+    swaps, ws = step[1], step[2]
+    for gq, lw in swaps:
+        lp = _swap_gl(cfg, lp, gq, lw)
+    lp = apply_raw(lp, mre, mim, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+    for gq, lw in reversed(swaps):
+        lp = _swap_gl(cfg, lp, gq, lw)
+    return lp
+
+
+def _step_bwd(cfg: _Cfg, y, g, mre, mim, step):
+    """Reverse one step: given its output y and cotangent g, recover the
+    step's input x (un-apply: U^H for gates, same pattern for exchanges),
+    the per-shard matrix-plane cotangent partials, and the propagated state
+    cotangent. Matrix partials are NOT psummed here — shard_map's transpose
+    of the replicated matrix inputs sums them across the mesh."""
+    kind = step[0]
+    mre_t, mim_t = mre.T, -mim.T
+    if kind == 'local':
+        ws = step[1]
+        x = apply_raw(y, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+        dmre, dmim = grad_raw(g, x, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+        g = apply_raw(g, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+        return x, g, dmre, dmim
+    if kind == 'g1':
+        gq = step[1]
+        x = _g1_apply(cfg, y, mre_t, mim_t, gq)
+        # every local amplitude has gate-bit value b = this shard's rank bit,
+        # so g contributes cotangent rows only at index b: dm[b, b] from the
+        # local x, dm[b, 1-b] from the partner shard's x (one ppermute)
+        xo = jax.lax.ppermute(x, cfg.axis_name, _perm_pairs(cfg, gq))
+        b0 = _gbit(cfg, gq) == 0
+        d_loc_re = jnp.sum(g[0] * x[0] + g[1] * x[1])
+        d_loc_im = jnp.sum(g[1] * x[0] - g[0] * x[1])
+        d_oth_re = jnp.sum(g[0] * xo[0] + g[1] * xo[1])
+        d_oth_im = jnp.sum(g[1] * xo[0] - g[0] * xo[1])
+        z = jnp.zeros((), mre.dtype)
+
+        def scatter(d_loc, d_oth):
+            row0 = jnp.stack([jnp.where(b0, d_loc, z), jnp.where(b0, d_oth, z)])
+            row1 = jnp.stack([jnp.where(b0, z, d_oth), jnp.where(b0, z, d_loc)])
+            return jnp.stack([row0, row1])
+
+        dmre = scatter(d_loc_re, d_oth_re)
+        dmim = scatter(d_loc_im, d_oth_im)
+        g = _g1_apply(cfg, g, mre_t, mim_t, gq)
+        return x, g, dmre, dmim
+    swaps, ws = step[1], step[2]
+    # F = S_in^{-1} A S_in with S_in real-orthogonal => F^H = S_in^{-1} A^H S_in
+    for gq, lw in swaps:
+        y = _swap_gl(cfg, y, gq, lw)
+        g = _swap_gl(cfg, g, gq, lw)
+    x = apply_raw(y, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+    dmre, dmim = grad_raw(g, x, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+    g = apply_raw(g, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+    for gq, lw in reversed(swaps):
+        x = _swap_gl(cfg, x, gq, lw)
+        g = _swap_gl(cfg, g, gq, lw)
+    return x, g, dmre, dmim
+
+
+# -------------------------------------------------- chain-level custom VJPs
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def shardmap_chain(lp, mres, mims, cfg: _Cfg, program):
+    """Run a whole distributed gate program on one shard's planes, in place,
+    with O(1) residual memory. Call INSIDE shard_map."""
+    for mre, mim, step in zip(mres, mims, program):
+        lp = _step_apply(cfg, lp, mre, mim, step)
+    return lp
+
+
+def _chain_fwd(lp, mres, mims, cfg, program):
+    y = shardmap_chain(lp, mres, mims, cfg, program)
+    return y, (y, mres, mims)
+
+
+def _chain_bwd(cfg, program, res, g):
+    y, mres, mims = res
+    dres = [None] * len(mres)
+    dims = [None] * len(mres)
+    for i in range(len(program) - 1, -1, -1):
+        y, g, dres[i], dims[i] = _step_bwd(cfg, y, g, mres[i], mims[i], program[i])
+    return g, tuple(dres), tuple(dims)
+
+
+shardmap_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+def _obs_apply(cfg: _Cfg, lp, omres, omims, oprog):
+    ox = lp
+    for mre, mim, step in zip(omres, omims, oprog):
+        ox = _step_apply(cfg, ox, mre, mim, step)
+    return ox
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def shardmap_expectation(lp, mres, mims, omres, omims, cfg: _Cfg, program,
+                         obs_programs):
+    """Per-shard partial <psi|O_i|psi> for each observable program; the
+    caller psums the stacked result (inner_product_dist, reference
+    distributed.py:288). Differentiable end-to-end with O(1) residuals:
+    the backward recomputes O_i psi from the saved final planes (dE/dpsi =
+    2 O psi for Hermitian O) and un-applies the gate chain."""
+    psi = shardmap_chain(lp, mres, mims, cfg, program)
+    outs = []
+    for oi, oprog in enumerate(obs_programs):
+        ox = _obs_apply(cfg, psi, omres[oi], omims[oi], oprog)
+        outs.append(jnp.sum(psi[0] * ox[0] + psi[1] * ox[1]))
+    return jnp.stack(outs)
+
+
+def _exp_fwd(lp, mres, mims, omres, omims, cfg, program, obs_programs):
+    psi = shardmap_chain(lp, mres, mims, cfg, program)
+    outs = []
+    for oi, oprog in enumerate(obs_programs):
+        ox = _obs_apply(cfg, psi, omres[oi], omims[oi], oprog)
+        outs.append(jnp.sum(psi[0] * ox[0] + psi[1] * ox[1]))
+    return jnp.stack(outs), (psi, mres, mims, omres, omims)
+
+
+def _exp_bwd(cfg, program, obs_programs, res, ge):
+    psi, mres, mims, omres, omims = res
+    # dE_i/dpsi = 2 O_i psi (planes; O Hermitian => Or^T = Or, Oi^T = -Oi)
+    g = None
+    for oi, oprog in enumerate(obs_programs):
+        ox = _obs_apply(cfg, psi, omres[oi], omims[oi], oprog)
+        contrib = (2.0 * ge[oi]) * ox
+        g = contrib if g is None else g + contrib
+    y = psi
+    dres = [None] * len(mres)
+    dims = [None] * len(mres)
+    for i in range(len(program) - 1, -1, -1):
+        y, g, dres[i], dims[i] = _step_bwd(cfg, y, g, mres[i], mims[i], program[i])
+    zr = jax.tree_util.tree_map(jnp.zeros_like, omres)
+    zi = jax.tree_util.tree_map(jnp.zeros_like, omims)
+    return g, tuple(dres), tuple(dims), zr, zi
+
+
+shardmap_expectation.defvjp(_exp_fwd, _exp_bwd)
+
+
+# ------------------------------------------------------------------- engine
 class ShardMapSimulator:
     """Pair-exchange sharded statevector simulator over a 2^k-device mesh.
 
-    ``planar=True`` runs every per-shard computation on f32 re/im planes:
-    local gate groups go through the Pallas planar kernel
-    (ops/planar_gate.py, ~650 GB/s per chip) and the Alg.6-10 exchanges
-    (ppermute / half-shard swaps) move the planes directly. This is how the
-    multi-chip path rides the same roofline kernel as the single-chip
-    engine — shard_map gives Pallas the per-device shapes that GSPMD's
-    automatic partitioner cannot. Default: auto (TPU + complex64 policy).
+    The engine is plane-based throughout; ``planar=True`` (auto on TPU under
+    the complex64 policy) additionally runs local gate groups through the
+    Pallas planar kernel (ops/planar_gate.py, ~650 GB/s per chip) — shard_map
+    gives Pallas the per-device shapes that GSPMD's automatic partitioner
+    cannot. Everywhere else (CPU oracle tests, x64 policy) the same program
+    executes through XLA real-matmul fallbacks at policy precision, so the
+    chain VJP is testable at 1e-10 against the local engine.
     """
 
     def __init__(self, nqubit: int, mesh: Mesh, axis_name: str = 'sv',
@@ -61,145 +285,49 @@ class ShardMapSimulator:
             planar = (jax.default_backend() == 'tpu'
                       and cdtype() == jnp.complex64 and self.nlocal >= 4)
         self.planar = planar
-        self._interp = jax.default_backend() != 'tpu'
+        interp = jax.default_backend() != 'tpu'
+        use_pallas = planar and rdtype() == jnp.float32
+        self.cfg = _Cfg(self.nglobal, self.nlocal, axis_name, use_pallas, interp)
 
-    # ------------------------------------------------------------- primitives
-    def _perm_pairs(self, gq: int):
-        """Rank permutation flipping global-qubit gq's rank bit (Alg.6 partner rule)."""
-        shift = self.nglobal - 1 - gq
-        return [(r, flip_bit(r, shift)) for r in range(self.ndev)]
-
-    def _gbit(self, gq: int):
-        return get_bit(jax.lax.axis_index(self.axis_name), self.nglobal - 1 - gq)
-
-    def _one_targ_global(self, local, mat, gq: int):
-        """Single-qubit gate on global qubit gq: one full-shard pair exchange."""
-        other = jax.lax.ppermute(local, self.axis_name, self._perm_pairs(gq))
-        b = self._gbit(gq)
-        mine = jnp.where(b == 0, mat[0, 0], mat[1, 1])
-        theirs = jnp.where(b == 0, mat[0, 1], mat[1, 0])
-        return mine * local + theirs * other
-
-    def _swap_global_local(self, local, gq: int, lwire: int):
-        """Swap global qubit gq with local qubit lwire: half-shard exchange (Alg.8)."""
-        x = local.reshape([2] * self.nlocal)
-        moved = jnp.moveaxis(x, lwire, 0)
-        b = self._gbit(gq)
-        keep = jnp.take(moved, b, axis=0)
-        send = jnp.take(moved, 1 - b, axis=0)
-        recv = jax.lax.ppermute(send, self.axis_name, self._perm_pairs(gq))
-        stacked0 = jnp.stack([keep, recv])   # layout when b == 0
-        stacked1 = jnp.stack([recv, keep])   # layout when b == 1
-        moved_new = jnp.where(b == 0, stacked0, stacked1)
-        return jnp.moveaxis(moved_new, 0, lwire).reshape(local.shape)
-
-    # ------------------------------------------------- planar-plane primitives
-    def _one_targ_global_planar(self, lp, mre, mim, gq: int):
-        """Alg.6 pair exchange on (2, dim_local) f32 planes."""
-        other = jax.lax.ppermute(lp, self.axis_name, self._perm_pairs(gq))
-        b = self._gbit(gq)
-        mr = jnp.where(b == 0, mre[0, 0], mre[1, 1])
-        mi = jnp.where(b == 0, mim[0, 0], mim[1, 1])
-        tr = jnp.where(b == 0, mre[0, 1], mre[1, 0])
-        ti = jnp.where(b == 0, mim[0, 1], mim[1, 0])
-        yr = mr * lp[0] - mi * lp[1] + tr * other[0] - ti * other[1]
-        yi = mr * lp[1] + mi * lp[0] + tr * other[1] + ti * other[0]
-        return jnp.stack([yr, yi])
-
-    def _swap_global_local_planar(self, lp, gq: int, lwire: int):
-        """Alg.8 half-shard exchange on planes (plane axis rides along)."""
-        x = lp.reshape([2] + [2] * self.nlocal)
-        moved = jnp.moveaxis(x, lwire + 1, 1)
-        b = self._gbit(gq)
-        keep = jnp.take(moved, b, axis=1)
-        send = jnp.take(moved, 1 - b, axis=1)
-        recv = jax.lax.ppermute(send, self.axis_name, self._perm_pairs(gq))
-        stacked0 = jnp.stack([keep, recv], axis=1)
-        stacked1 = jnp.stack([recv, keep], axis=1)
-        moved_new = jnp.where(b == 0, stacked0, stacked1)
-        return jnp.moveaxis(moved_new, 1, lwire + 1).reshape(lp.shape)
-
-    def _apply_gate_planar(self, lp, mre, mim, wires):
-        """Planar twin of _apply_gate; matrix planes in SORTED-wire order."""
-        from ..ops.planar_gate import planar_evolve_any
+    # ---------------------------------------------------------- compilation
+    def _build_program(self, gates):
+        """Complex (mat, wires) list -> (program, mres, mims): static step
+        descriptors plus per-step matrix planes already permuted to the
+        order each step's local apply expects."""
         k = self.nglobal
         nl = self.nlocal
-        global_targets = [w for w in wires if w < k]
-        if not global_targets:
-            return planar_evolve_any(lp, mre, mim, nl,
-                                     tuple(w - k for w in wires), self._interp)
-        if len(wires) == 1:
-            return self._one_targ_global_planar(lp, mre, mim, wires[0])
-        used_local = {w - k for w in wires if w >= k}
-        free_local = [l for l in range(nl) if l not in used_local]
-        assert len(free_local) >= len(global_targets), 'not enough local qubits for remap'
-        remap = {}
-        for g, l in zip(global_targets, free_local):
-            lp = self._swap_global_local_planar(lp, g, l)
-            remap[g] = l
-        # the swap leaves wire ORDER intact (global slot g now holds local
-        # qubit l's role and vice versa), so matrix stays sorted-wire
-        new_wires = [remap[w] if w in remap else w - k for w in wires]
-        order = sorted(range(len(new_wires)), key=lambda i: new_wires[i])
-        if order != list(range(len(new_wires))):
-            from ..ops.apply import permute_matrix_wires
-            # planes permute independently (real linear op)
-            mre = permute_matrix_wires(mre, order)
-            mim = permute_matrix_wires(mim, order)
-        lp = planar_evolve_any(lp, mre, mim, nl, tuple(sorted(new_wires)),
-                               self._interp)
-        for g, l in reversed(list(remap.items())):
-            lp = self._swap_global_local_planar(lp, g, l)
-        return lp
-
-    # ------------------------------------------------------------------- gate
-    def _apply_gate(self, local, mat, wires):
-        """Apply a k-qubit unitary with the minimal exchange pattern."""
-        k = self.nglobal
-        nl = self.nlocal
-        global_targets = [w for w in wires if w < k]
-        if not global_targets:
-            x = local.reshape([2] * nl)
-            x = evolve_state(x, mat, nl, [w - k for w in wires])
-            return x.reshape(local.shape)
-        if len(wires) == 1:
-            return self._one_targ_global(local, mat, wires[0])
-        # swap global targets with free local qubits, apply locally, swap back
-        used_local = {w - k for w in wires if w >= k}
-        free_local = [l for l in range(nl) if l not in used_local]
-        assert len(free_local) >= len(global_targets), 'not enough local qubits for remap'
-        remap = {}
-        for g, l in zip(global_targets, free_local):
-            local = self._swap_global_local(local, g, l)
-            remap[g] = l
-        new_wires = [remap[w] if w in remap else w - k for w in wires]
-        x = local.reshape([2] * nl)
-        x = evolve_state(x, mat, nl, new_wires)
-        local = x.reshape(local.shape)
-        for g, l in reversed(list(remap.items())):
-            local = self._swap_global_local(local, g, l)
-        return local
-
-    # ------------------------------------------------------------------- runs
-    def init_state(self) -> jax.Array:
-        dim = 2 ** self.nqubit
-        zeros = np.zeros(dim, dtype=cdtype())
-        zeros[0] = 1
-        from ..utils.compat import to_device
-        return jax.device_put(to_device(zeros), self.sharding)
-
-    def _prepare_state(self, state):
-        if state is None:
-            return self.init_state()
-        from ..utils.compat import to_device
-        arr = to_device(np.asarray(state, dtype=cdtype()).reshape(-1)) \
-            if isinstance(state, np.ndarray) else jnp.asarray(state, cdtype()).reshape(-1)
-        return jax.device_put(arr, self.sharding)
+        program, mres, mims = [], [], []
+        for mat, wires in gates:
+            mat = jnp.asarray(mat, cdtype())
+            global_targets = [w for w in wires if w < k]
+            if not global_targets:
+                ws = tuple(sorted(w - k for w in wires))
+                order = sorted(range(len(wires)), key=lambda i: wires[i])
+                if order != list(range(len(wires))):
+                    mat = permute_matrix_wires(mat, order)
+                program.append(('local', ws))
+            elif len(wires) == 1:
+                program.append(('g1', wires[0]))
+            else:
+                used_local = {w - k for w in wires if w >= k}
+                free_local = [l for l in range(nl) if l not in used_local]
+                assert len(free_local) >= len(global_targets), \
+                    'not enough local qubits for remap'
+                swaps = tuple(zip(global_targets, free_local))
+                remap = dict(swaps)
+                new_wires = [remap[w] if w in remap else w - k for w in wires]
+                order = sorted(range(len(new_wires)), key=lambda i: new_wires[i])
+                if order != list(range(len(new_wires))):
+                    mat = permute_matrix_wires(mat, order)
+                program.append(('remap', swaps, tuple(sorted(new_wires))))
+            mres.append(jnp.real(mat).astype(rdtype()))
+            mims.append(jnp.imag(mat).astype(rdtype()))
+        return tuple(program), tuple(mres), tuple(mims)
 
     def _gate_list(self, circuit, full):
         # a k-wire gate needs k free local slots in the worst case (all
         # targets global), so cap the fusion support at nlocal (Alg.10's
-        # applicability condition, reference distribured swap-in remap)
+        # applicability condition, reference distributed swap-in remap)
         old_k = circuit.fuse_max_support
         circuit.fuse_max_support = max(1, min(old_k, self.nlocal))
         try:
@@ -218,91 +346,123 @@ class ShardMapSimulator:
         finally:
             circuit.fuse_max_support = old_k
 
+    def _obs_programs(self, circuit):
+        from ..circuit import _PAULI_FNS
+        oprogs, omres, omims = [], [], []
+        for obs in circuit.observables:
+            og = [(jnp.asarray(_PAULI_FNS[b](), cdtype()), [w[0]])
+                  for w, b in zip(obs.wires, obs.basis)]
+            p, r, i = self._build_program(og)
+            oprogs.append(p)
+            omres.append(r)
+            omims.append(i)
+        return tuple(oprogs), tuple(omres), tuple(omims)
+
+    # ------------------------------------------------------------- plumbing
+    def _init_planes(self):
+        """|0...0> planes built INSIDE the per-shard program: shard 0 sets
+        amplitude 0 to 1 — no 2^n host constant, no transfer."""
+        shard_len = (1 << self.nqubit) // self.ndev
+        z = jnp.zeros((2, shard_len), rdtype())
+        amp = jnp.where(jax.lax.axis_index(self.axis_name) == 0,
+                        jnp.ones((), rdtype()), jnp.zeros((), rdtype()))
+        return z.at[0, 0].set(amp)
+
+    def init_state(self) -> jax.Array:
+        dim = 2 ** self.nqubit
+        zeros = np.zeros(dim, dtype=cdtype())
+        zeros[0] = 1
+        from ..utils.compat import to_device
+        return jax.device_put(to_device(zeros), self.sharding)
+
+    def _prepare_state(self, state):
+        if state is None:
+            return None
+        if isinstance(state, (np.ndarray, list, tuple)):
+            # host complex -> device via real/imag pair (complex transfers are
+            # UNIMPLEMENTED on some TPU attachment paths, utils/compat.py)
+            from ..utils.compat import to_device
+            state = to_device(np.asarray(state, dtype=cdtype()).reshape(-1))
+        # dtype conversion of device arrays happens inside the traced body —
+        # no eager complex host transfers here (device-to-device reshape is fine)
+        if state.ndim != 1:
+            state = state.reshape(-1)
+        return jax.device_put(state, self.sharding)
+
     def _full(self, circuit, params, data):
         didx = None if data is None else circuit._data_indices(np.shape(data)[-1])
         return circuit._full_params(params, data, didx)
 
-    def _planar_gates(self, gates):
-        """Complex (mat, wires) list -> (mre, mim, sorted_wires) planes."""
-        from ..ops.planar_gate import _sorted_mat_planes
-        out = []
-        for mat, wires in gates:
-            mre, mim = _sorted_mat_planes(mat, wires)
-            out.append((mre, mim, sorted(wires)))
-        return out
+    # ------------------------------------------------------------------ runs
+    # Everything — gate-matrix construction included — is traced under one
+    # jax.jit: eagerly-created complex device constants are an UNIMPLEMENTED
+    # host->device transfer on some TPU attachment paths (utils/compat.py),
+    # and they would also be re-uploaded per call. _traced_run/_traced_exp
+    # are the untransformed bodies so DistributedQubitCircuit can jit+cache
+    # them directly without nesting jits.
+
+    def _traced_run(self, circuit, params, data, state) -> jax.Array:
+        from jax.experimental.shard_map import shard_map
+        gates = self._gate_list(circuit, self._full(circuit, params, data))
+        program, mres, mims = self._build_program(gates)
+        cfg = self.cfg
+
+        if state is None:
+            def prog(mres_, mims_):
+                lp = shardmap_chain(self._init_planes(), mres_, mims_, cfg, program)
+                return from_planar(lp).astype(cdtype())
+            fn = shard_map(prog, mesh=self.mesh, in_specs=(P(), P()),
+                           out_specs=P(self.axis_name), check_rep=False)
+            return fn(mres, mims)
+
+        def prog(local, mres_, mims_):
+            lp = shardmap_chain(to_planar(local), mres_, mims_, cfg, program)
+            return from_planar(lp).astype(cdtype())
+        fn = shard_map(prog, mesh=self.mesh,
+                       in_specs=(P(self.axis_name), P(), P()),
+                       out_specs=P(self.axis_name), check_rep=False)
+        return fn(jnp.asarray(state, cdtype()).reshape(-1), mres, mims)
+
+    def _traced_exp(self, circuit, params, data, state) -> jnp.ndarray:
+        from jax.experimental.shard_map import shard_map
+        gates = self._gate_list(circuit, self._full(circuit, params, data))
+        program, mres, mims = self._build_program(gates)
+        oprogs, omres, omims = self._obs_programs(circuit)
+        cfg = self.cfg
+        ax = self.axis_name
+
+        if state is None:
+            def prog(mres_, mims_, omres_, omims_):
+                e = shardmap_expectation(self._init_planes(), mres_, mims_,
+                                         omres_, omims_, cfg, program, oprogs)
+                return jax.lax.psum(e, ax)
+            fn = shard_map(prog, mesh=self.mesh, in_specs=(P(),) * 4,
+                           out_specs=P(), check_rep=False)
+            return fn(mres, mims, omres, omims)
+
+        def prog(local, mres_, mims_, omres_, omims_):
+            e = shardmap_expectation(to_planar(local), mres_, mims_,
+                                     omres_, omims_, cfg, program, oprogs)
+            return jax.lax.psum(e, ax)
+        fn = shard_map(prog, mesh=self.mesh,
+                       in_specs=(P(ax),) + (P(),) * 4,
+                       out_specs=P(), check_rep=False)
+        return fn(jnp.asarray(state, cdtype()).reshape(-1), mres, mims, omres, omims)
 
     def run(self, circuit, params=None, data=None, state=None) -> jax.Array:
         """Execute a QubitCircuit IR under shard_map (data encoding and a
-        custom initial state supported, matching DistributedQubitCircuit)."""
-        from jax.experimental.shard_map import shard_map
-        state = self._prepare_state(state)
-        gates = self._gate_list(circuit, self._full(circuit, params, data))
-
-        if self.planar:
-            from ..ops.planar_gate import from_planar, to_planar
-            pgates = self._planar_gates(gates)
-
-            def program(local):
-                lp = to_planar(local)
-                for mre, mim, wires in pgates:
-                    lp = self._apply_gate_planar(lp, mre, mim, wires)
-                return from_planar(lp)
-        else:
-            def program(local):
-                for mat, wires in gates:
-                    local = self._apply_gate(local, mat, wires)
-                return local
-
-        # check_rep=False: pallas_call out_shapes carry no varying-mesh-axes
-        # annotation, which the planar path trips over inside shard_map
-        fn = shard_map(program, mesh=self.mesh, in_specs=P(self.axis_name),
-                       out_specs=P(self.axis_name), check_rep=False)
-        return jax.jit(fn)(state)
+        custom initial state supported, matching DistributedQubitCircuit).
+        Differentiable in params/data via the chain VJP."""
+        st = self._prepare_state(state)
+        fn = jax.jit(functools.partial(self._traced_run, circuit))
+        return fn(params, data, st)
 
     def expectation(self, circuit, params=None, data=None, state=None) -> jnp.ndarray:
-        """<psi|O|psi> per observable with one psum (Alg. inner_product_dist)."""
-        from jax.experimental.shard_map import shard_map
-        from ..circuit import _PAULI_FNS
-        state = self._prepare_state(state)
-        gates = self._gate_list(circuit, self._full(circuit, params, data))
-        obs_gates = []
-        for obs in circuit.observables:
-            obs_gates.append([(jnp.asarray(_PAULI_FNS[b](), cdtype()), [w[0]])
-                              for w, b in zip(obs.wires, obs.basis)])
-
-        if self.planar:
-            from ..ops.planar_gate import to_planar
-            pgates = self._planar_gates(gates)
-            pobs = [self._planar_gates(og) for og in obs_gates]
-
-            def program(local):
-                lp = to_planar(local)
-                for mre, mim, wires in pgates:
-                    lp = self._apply_gate_planar(lp, mre, mim, wires)
-                outs = []
-                for og in pobs:
-                    ox = lp
-                    for mre, mim, wires in og:
-                        ox = self._apply_gate_planar(ox, mre, mim, wires)
-                    e = jnp.sum(lp[0] * ox[0] + lp[1] * ox[1])
-                    outs.append(jax.lax.psum(e, self.axis_name))
-                return jnp.stack(outs)
-        else:
-            def program(local):
-                for mat, wires in gates:
-                    local = self._apply_gate(local, mat, wires)
-                outs = []
-                for og in obs_gates:
-                    ox = local
-                    for mat, wires in og:
-                        ox = self._apply_gate(ox, mat, wires)
-                    e = jnp.real(jnp.vdot(local, ox))
-                    outs.append(jax.lax.psum(e, self.axis_name))
-                return jnp.stack(outs)
-
-        fn = shard_map(program, mesh=self.mesh, in_specs=P(self.axis_name),
-                       out_specs=P(), check_rep=False)
-        return jax.jit(fn)(state)
+        """<psi|O|psi> per observable with one psum (Alg. inner_product_dist).
+        Differentiable in params/data with O(1) residual memory (chain VJP)."""
+        st = self._prepare_state(state)
+        fn = jax.jit(functools.partial(self._traced_exp, circuit))
+        return fn(params, data, st)
 
     def measure(self, circuit, shots: int = 1024, params=None, data=None,
                 state=None, wires=None, key=None) -> dict:
@@ -312,36 +472,37 @@ class ShardMapSimulator:
         draws its share locally from its own amplitudes. Returns
         {bitstring: count} like QubitCircuit.measure."""
         from collections import Counter
-        from jax.experimental.shard_map import shard_map
         from ..ops.qmath import next_key
         if key is None:
             key = next_key()
         psi = self.run(circuit, params=params, data=data, state=state)
+        shard_len = (1 << self.nqubit) // self.ndev
 
-        def shard_mass(local):
-            return jnp.sum(jnp.abs(local) ** 2)[None]
+        # real (ndev, shard_len) log-probabilities in ONE jitted program
+        # (keeps complex values off the eager path, which is UNIMPLEMENTED
+        # on some TPU attachment paths) + per-shard masses
+        @jax.jit
+        def _logp_masses(p):
+            prob = jnp.real(p * jnp.conj(p)).reshape(self.ndev, shard_len)
+            lp = jnp.log(jnp.maximum(prob, 1e-38))
+            return lp, jnp.sum(prob, axis=1)
 
-        masses = jax.jit(shard_map(shard_mass, mesh=self.mesh,
-                                   in_specs=P(self.axis_name),
-                                   out_specs=P(self.axis_name)))(psi)
-        masses = np.asarray(jnp.real(masses), np.float64)
-        masses = np.maximum(masses, 0)
+        logp, masses = _logp_masses(psi)
+        masses = np.maximum(np.asarray(masses, np.float64), 0)
         masses /= masses.sum()
         rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
         per_shard = rng.multinomial(shots, masses)
 
-        shard_len = (1 << self.nqubit) // self.ndev
         wires = list(range(self.nqubit)) if wires is None else (
             [wires] if isinstance(wires, int) else sorted(wires))
         counts: Counter = Counter()
-        # per-shard categorical draw on the local probabilities (host drives
-        # the loop; each shard's draw is one small device program)
+        # per-shard categorical draw on the local log-probabilities (host
+        # drives the loop; each shard's draw is one small real-valued program)
         for r, k in enumerate(per_shard):
             if k == 0:
                 continue
-            local = jax.lax.dynamic_slice(psi, (r * shard_len,), (shard_len,))
-            logp = jnp.log(jnp.maximum(jnp.abs(local) ** 2, 1e-38))
-            draws = jax.random.categorical(jax.random.fold_in(key, r), logp, shape=(int(k),))
+            draws = jax.random.categorical(jax.random.fold_in(key, r), logp[r],
+                                           shape=(int(k),))
             for d in np.asarray(draws):
                 g = r * shard_len + int(d)
                 bits = format(g, f'0{self.nqubit}b')

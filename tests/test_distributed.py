@@ -364,3 +364,119 @@ def test_distributed_engine_shardmap_option():
                                np.asarray(g.expectation()), atol=1e-10)
     counts = s.measure(shots=64)
     assert isinstance(counts, dict) and sum(counts.values()) == 64
+
+
+def test_shardmap_gradient_parity():
+    """Chain-level custom VJP through the shard_map engine (the multi-chip
+    training path): parameter AND data gradients match the local circuit and
+    the GSPMD engine at 1e-10 on the 8-device mesh. Covers all three step
+    kinds (local apply, Alg.6 global single-qubit exchange, Alg.8-10
+    swap-remap) under differentiation."""
+    from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
+
+    n = 5
+    rng = np.random.default_rng(17)
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.rx(i, encode=True)
+    for i in range(n):
+        cir.ry(i)
+        cir.rz(i)
+    cir.h(0)
+    cir.cnot(0, 4)        # global control, local target (remap)
+    cir.cnot(0, 1)        # both global (double remap)
+    cir.cnot(3, 4)        # purely local
+    cir.rzz([1, 3])       # trainable, mixed global/local
+    cir.crx(2, 0)         # trainable, remap with permuted wires
+    cir.observable(0)
+    cir.observable(list(range(n)), basis='x' * n)
+
+    data = jnp.asarray(rng.random(n))
+    p = cir.params
+    sim = ShardMapSimulator(n, make_mesh(8))
+
+    dist = DistributedQubitCircuit(n, mesh=make_mesh(8), engine='gspmd')
+    dist.add(cir)
+    dist.observables = cir.observables
+
+    for tgt in range(2):
+        g_local = np.asarray(jax.grad(
+            lambda q: cir.expectation(data=data, params=q)[tgt])(p))
+        g_smap = np.asarray(jax.grad(
+            lambda q: sim.expectation(cir, params=q, data=data)[tgt])(p))
+        g_gspmd = np.asarray(jax.grad(
+            lambda q: dist.expectation(data=data, params=q)[tgt])(p))
+        np.testing.assert_allclose(g_smap, g_local, atol=1e-10)
+        np.testing.assert_allclose(g_smap, g_gspmd, atol=1e-10)
+
+    d_local = np.asarray(jax.grad(
+        lambda d: cir.expectation(data=d, params=p)[1])(data))
+    d_smap = np.asarray(jax.grad(
+        lambda d: sim.expectation(cir, params=p, data=d)[1])(data))
+    np.testing.assert_allclose(d_smap, d_local, atol=1e-10)
+
+
+def test_shardmap_train_step():
+    """One optimizer step through DistributedQubitCircuit(engine='shardmap')
+    under an outer jit — the multi-chip training loop the driver dry-runs."""
+    import optax
+
+    n = 6
+    cir = DistributedQubitCircuit(n, mesh=make_mesh(8), engine='shardmap')
+    for i in range(n):
+        cir.rx(i)
+        cir.rz(i)
+    cir.cnot_ring()
+    cir.observable(list(range(n)), basis='x' * n)
+
+    ref = dq.QubitCircuit(n)
+    ref.add(cir)
+    ref.observables = cir.observables
+
+    params = cir.params
+    opt = optax.sgd(0.05)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        val, grads = jax.value_and_grad(lambda q: cir.expectation(params=q)[0])(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, val, grads
+
+    p1, opt_state, val, grads = step(params, opt_state)
+    g_ref = jax.grad(lambda q: ref.expectation(params=q)[0])(params)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(g_ref), atol=1e-10)
+    np.testing.assert_allclose(float(val), float(ref.expectation(params=params)[0]),
+                               atol=1e-10)
+    assert not np.allclose(np.asarray(p1), np.asarray(params))
+
+
+def test_shardmap_gradient_pallas_interpret():
+    """The SAME distributed chain VJP with the Pallas kernels engaged
+    (interpret mode, complex64 policy): per-shard local groups go through
+    _planar_apply/_planar_grad while exchanges ride ppermute — the exact
+    program the TPU multi-chip path compiles."""
+    import deepquantum_tpu as dqm
+    from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
+
+    dqm.set_dtype('complex64')
+    try:
+        n = 13                      # nlocal = 10 on 8 devices -> kernel engages
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i)
+        cir.cnot(0, 12)             # remap path with kernel local apply
+        cir.cnot(5, 6)
+        cir.observable(0)
+        sim = ShardMapSimulator(n, make_mesh(8), planar=True)
+        assert sim.cfg.use_pallas
+        p = cir.params
+        e = np.asarray(sim.expectation(cir, params=p))
+        g = np.asarray(jax.grad(lambda q: sim.expectation(cir, params=q)[0])(p))
+    finally:
+        dqm.set_dtype('complex128')
+
+    e_ref = np.asarray(cir.expectation(params=p))
+    g_ref = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+    np.testing.assert_allclose(e, e_ref, atol=1e-5)
+    np.testing.assert_allclose(g, g_ref, atol=1e-5)
