@@ -244,7 +244,7 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
     return out
 
 
-def bench_hessian(ns=(2, 6, 10), nlayer=1, steps=3):
+def bench_hessian(ns=(2, 6, 10, 14, 18), nlayer=1, steps=3):
     """Reference hessian_deepquantum.py: full Hessian of the expectation."""
     import jax
     out = {}
@@ -299,16 +299,42 @@ def bench_gate_apply_roofline(ns=(24, 26), ngate=64):
                     return jax.lax.scan(body, x, None, length=k // len(wsets))[0]
                 return loop
 
+            # bare chain: carry the scan state in the kernel's BLOCKED layout
+            # (same wires every gate), so the scan boundary needs no reshape
+            # and the donation chain stays intact — this is the rate the
+            # kernel itself sustains. lax.reshape to an identical shape is a
+            # no-op, so _planar_apply's internal view costs nothing here.
+            from deepquantum_tpu.ops.planar_gate import _geometry
+            _, _, _, bshape, _, _ = _geometry(n, [0, 1, 2])
+
+            def make_bare(k):
+                def loop(xb):
+                    def body(xb, _):
+                        for _ in range(len(wsets)):
+                            xb = planar_evolve(xb, mre, mim, n, (0, 1, 2))
+                        return xb, None
+                    return jax.lax.scan(body, xb, None, length=k // len(wsets))[0]
+                return loop
+
             # make_loop(k) applies k gates total (k/4 scan steps x 4 gates),
             # so _scan_time's per-step division already yields ms per gate
             x0 = jnp.linspace(0, 1, 2 << n, dtype=jnp.float32).reshape(2, 1 << n)
             ms = _scan_time(make_loop, x0, ngate)
+            ms_bare = _scan_time(make_bare, x0.reshape(bshape), ngate)
             bytes_moved = 2 * 8 * (1 << n)
-            gbps = bytes_moved / (ms * 1e-3) / 1e9
-            out[f'n{n}'] = dict(ms_per_gate=ms, achieved_gbps=gbps,
-                                frac_of_peak=gbps / 819.0)
-            print(f'gate_apply n={n}: {ms:.3f} ms/gate-group, {gbps:.0f} GB/s '
-                  f'({100 * gbps / 819:.0f}% of v5e HBM peak)')
+            row = {}
+            for tag, m in (('scan', ms), ('bare', ms_bare)):
+                gbps = bytes_moved / (m * 1e-3) / 1e9
+                row[f'ms_per_gate_{tag}'] = m
+                row[f'achieved_gbps_{tag}'] = gbps
+                # fraction of the MEASURED c64-stream ceiling (calibrate_hbm
+                # 644-653 GB/s on the attached v5e), not the paper 819 —
+                # see hbm_calibration_gbps in results.json
+                row[f'frac_of_c64_ceiling_{tag}'] = gbps / 645.0
+                print(f'gate_apply[{tag}] n={n}: {m:.3f} ms/gate-group, '
+                      f'{gbps:.0f} GB/s ({100 * gbps / 645:.0f}% of measured '
+                      f'c64 stream ceiling)')
+            out[f'n{n}'] = row
         except Exception as e:  # noqa: BLE001
             print(f'gate_apply n={n}: failed ({type(e).__name__})')
             break
@@ -425,17 +451,42 @@ def bench_hafnian(ns=(8, 12, 16), steps=5):
     return out
 
 
+def _torontonian_host_f64(o: np.ndarray, with_amp: bool = False):
+    """Host complex128 torontonian (same subset det+solve formula as
+    photonic/torontonian_.py) — the on-chip accuracy oracle. With
+    ``with_amp`` also returns the cancellation amplification (largest
+    term / |result|), the intrinsic conditioning of the instance."""
+    import itertools as it
+    o = o.astype(np.complex128)
+    m = o.shape[-1] // 2
+    total = (-1.0) ** m + 0j
+    biggest = 1.0
+    for r in range(1, m + 1):
+        for sub in it.combinations(range(m), r):
+            idx = np.sort(np.concatenate([np.array(sub), np.array(sub) + m]))
+            cov_q_inv = np.eye(2 * r) - o[np.ix_(idx, idx)]
+            term = (-1.0) ** (m - r) / np.sqrt(np.linalg.det(cov_q_inv))
+            biggest = max(biggest, abs(term))
+            total += term
+    if with_amp:
+        return complex(total), biggest / abs(total)
+    return complex(total)
+
+
 def bench_torontonian(ns=(6, 8, 10), steps=5):
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.torontonian_ import torontonian
-    from deepquantum_tpu.utils.compat import to_device
+    from deepquantum_tpu.utils.compat import to_device, to_numpy
     rng = np.random.default_rng(2)
     out = {}
     for n in ns:
         m = rng.standard_normal((2 * n, 2 * n)) * 0.1
         o = np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
         x = to_device(o.astype(np.complex64))
+        val = complex(np.asarray(to_numpy(jax.jit(torontonian)(x))))
+        oracle, amp = _torontonian_host_f64(o, with_amp=True)
+        rel = abs(val - oracle) / abs(oracle)
 
         def make_loop(k):
             def loop(z):
@@ -447,8 +498,9 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
 
         with _maybe_profile(f'torontonian_n{n}'):
             ms = _scan_time(make_loop, x, steps)
-        out[f'n{n}'] = ms
-        print(f'torontonian 2n={2 * n}: {ms:.3f} ms')
+        out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel, cancellation_amp=amp)
+        print(f'torontonian 2n={2 * n}: {ms:.3f} ms, rel err vs f64 = '
+              f'{rel:.2e} (instance cancellation amp {amp:.1e})')
     return out
 
 
@@ -460,6 +512,12 @@ def bench_mbqc(ns=(3, 5, 7), reps=3):
     import deepquantum_tpu as dq
     rng = np.random.default_rng(3)
     out = {}
+    # exclude first-call compile from every row (round-2 review: the n=3
+    # row recorded 52 ms of warmup against 0.4 ms steady-state)
+    warm = dq.QubitCircuit(2)
+    warm.h(0)
+    warm.cnot(0, 1)
+    warm.pattern()()
     for n in ns:
         t_t, t_s = [], []
         for r in range(reps):
@@ -569,20 +627,20 @@ REF_SECTIONS = {
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith('--')]
-    which = args[0] if args else 'all'
+    which = set(args) if args else {'all'}
     path = os.path.join(_HERE, 'results.json')
     results = {}
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
     for name, (key, fn) in SECTIONS.items():
-        if which in (name, 'all'):
+        if which & {name, 'all'}:
             results[key] = fn()
             with open(path, 'w') as f:
                 json.dump(results, f, indent=2)
     if REFERENCE:
         for name, (key, fn) in REF_SECTIONS.items():
-            if which in (name, 'all'):
+            if which & {name, 'all'}:
                 results[key] = fn()
                 with open(path, 'w') as f:
                     json.dump(results, f, indent=2)

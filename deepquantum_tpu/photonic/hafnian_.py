@@ -25,6 +25,7 @@ chains regardless of matrix size.
 
 from __future__ import annotations
 
+import functools
 import itertools
 from functools import lru_cache
 
@@ -35,6 +36,127 @@ import numpy as np
 from ..config import cdtype
 
 __all__ = ['hafnian', 'hafnian_batch']
+
+
+# --------------------------------------------------------- df32 (c64 only)
+# TPUs have no f64; plain f32 trace powers + the alternating subset sum lose
+# ~1.9e-5 relative at n=16 (round-2 recorded artifact). Under the complex64
+# policy the whole evaluation runs in double-single arithmetic (~2^-48 per
+# op) from ops/df32.py; the final rounding to complex64 is then the only
+# f32-level step. Private aliases kept for the unit tests.
+from ..ops.df32 import (
+    cdf_add as _cdf_add,
+    cdf_lift as _cdf_lift,
+    cdf_matmul as _cdf_matmul,
+    cdf_mul as _cdf_mul,
+    cdf_reduce0 as _cdf_reduce0,
+    cdf_scale_const as _cdf_scale_const,
+    cdf_scale_int as _cdf_scale_int,
+    cdf_to_complex as _cdf_to_complex,
+    cdf_trace as _cdf_trace,
+    const_split as _const_split,
+)
+
+
+def _subset_coeff_df32(sub_re, sub_im, m: int, loop: bool):
+    """[z^m] exp(P_Z) for one (zero-padded) subset, every step in df32.
+
+    The power iteration is a lax.scan over j so the traced graph is O(1) in
+    m; trailing zero rows/cols contribute nothing to traces or products, so
+    padded subsets evaluate to exactly their unpadded coefficient."""
+    xa = _cdf_lift(_pair_swap_rows(sub_re), _pair_swap_rows(sub_im))
+    if loop:
+        v = _cdf_lift(jnp.diagonal(sub_re)[:, None], jnp.diagonal(sub_im)[:, None])
+        xv = tuple(tuple(_pair_swap_rows(x) * 0.5 for x in comp) for comp in v)
+        u0 = tuple(tuple(jnp.swapaxes(x, -1, -2) for x in comp) for comp in v)
+    else:
+        u0 = None
+    inv2j = [_const_split(1.0 / (2 * j)) for j in range(1, m + 1)]
+    ch = jnp.stack([c[0] for c in inv2j])
+    cl = jnp.stack([c[1] for c in inv2j])
+
+    def step(carry, consts):
+        pw, u = carry
+        h, lo = consts
+        from ..ops.df32 import df_mul as _df_mul
+        tr = _cdf_trace(pw)
+        t = (_df_mul(tr[0][0], tr[0][1], h, lo),
+             _df_mul(tr[1][0], tr[1][1], h, lo))
+        if loop:
+            dot = _cdf_matmul(u, xv)      # (1, 1)
+            dot = tuple(tuple(x[..., 0, 0] for x in comp) for comp in dot)
+            t = _cdf_add(t, dot)
+            u = _cdf_matmul(u, xa)
+        pw = _cdf_matmul(pw, xa)
+        return (pw, u), t
+
+    _, terms = jax.lax.scan(step, (xa, u0), (ch, cl))
+    # power-series exponential recurrence on the m stacked df32 traces;
+    # O(m^2) scalar df ops, unrolled (m <= ~14)
+    term_list = [tuple(tuple(x[j] for x in comp) for comp in terms)
+                 for j in range(m)]
+    one = _cdf_lift(jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32))
+    e = [one]
+    for k in range(1, m + 1):
+        acc = None
+        for j in range(1, k + 1):
+            contrib = _cdf_mul(_cdf_scale_int(term_list[j - 1], j), e[k - j])
+            acc = contrib if acc is None else _cdf_add(acc, contrib)
+        e.append(_cdf_scale_const(acc, 1.0 / k))
+    return e[m]
+
+
+@lru_cache(maxsize=None)
+def _padded_subset_indices(m: int):
+    """Interleaved row indices for EVERY nonempty subset of the m mode
+    pairs, zero-padded to a common length 2m, plus the (2m, 2m) validity
+    mask and the inclusion-exclusion sign of each subset. Padding with
+    zeroed rows/cols keeps trace powers exact, so one vmapped body covers
+    all subset sizes (per-size bodies made compile time explode)."""
+    subsets = subset_index_groups(m)
+    count = (1 << m) - 1
+    idx = np.zeros((count, 2 * m), np.int64)
+    sign = np.zeros(count, np.float32)
+    mask = np.zeros((count, 2 * m, 1), np.float32)
+    s = 0
+    for k, pair_sets in subsets.items():
+        rows = np.stack([2 * pair_sets, 2 * pair_sets + 1], axis=2).reshape(
+            len(pair_sets), 2 * k)
+        e = s + len(rows)
+        idx[s:e, :2 * k] = rows
+        sign[s:e] = 1.0 if (m - k) % 2 == 0 else -1.0
+        mask[s:e, :2 * k] = 1.0
+        s = e
+    return idx, mask, sign
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _hafnian_df32(matrix, loop: bool):
+    """df32 hafnian of an even-size complex64 matrix (see module header)."""
+    size = matrix.shape[-1]
+    m = size // 2
+    re = jnp.real(matrix).astype(jnp.float32)
+    im = jnp.imag(matrix).astype(jnp.float32)
+    idx, mask, sign = _padded_subset_indices(m)
+    full = mask * np.swapaxes(mask, -1, -2)          # (S, 2m, 2m)
+    sub_re = re[idx[:, :, None], idx[:, None, :]] * full
+    sub_im = im[idx[:, :, None], idx[:, None, :]] * full
+    coeffs = jax.vmap(lambda r, i: _subset_coeff_df32(r, i, m, loop))(
+        sub_re, sub_im)
+    signed = tuple(tuple(x * sign for x in comp) for comp in coeffs)
+    total = _cdf_reduce0(signed)
+    return jax.lax.complex(total[0][0] + total[0][1],
+                           total[1][0] + total[1][1]).astype(jnp.complex64)
+
+
+@_hafnian_df32.defjvp
+def _hafnian_df32_jvp(loop, primals, tangents):
+    # bitmask splits are not differentiable; tangents ride the plain-f32
+    # formulation (accuracy of the PRIMAL is what the df32 path is for)
+    (matrix,), (dm,) = primals, tangents
+    primal = _hafnian_df32(matrix, loop)
+    _, tangent = jax.jvp(lambda a: _hafnian_plain(a, loop), (matrix,), (dm,))
+    return primal, tangent.astype(primal.dtype)
 
 
 @lru_cache(maxsize=None)
@@ -94,20 +216,9 @@ def _subset_coeff(sub, m: int, loop: bool):
     return _exp_series_coeff(jnp.stack(terms))
 
 
-def hafnian(matrix, loop: bool = False) -> jnp.ndarray:
-    """(Loop) hafnian of a symmetric matrix (parity target: reference
-    src/deepquantum/photonic/hafnian_.py:93)."""
-    matrix = jnp.asarray(matrix, dtype=cdtype())
+def _hafnian_plain(matrix, loop: bool) -> jnp.ndarray:
+    """Power-trace hafnian at the matrix's native complex precision."""
     size = matrix.shape[-1]
-    if size % 2 == 1:
-        if not loop:
-            return jnp.zeros((), matrix.dtype)
-        # odd loop hafnian: border with a unit diagonal entry
-        padded = jnp.zeros((size + 1, size + 1), matrix.dtype).at[0, 0].set(1)
-        matrix = padded.at[1:, 1:].set(matrix)
-        size += 1
-    if size == 0:
-        return jnp.ones((), matrix.dtype)
     m = size // 2
     pair_groups = subset_index_groups(m)
     total = jnp.zeros((), matrix.dtype)
@@ -119,6 +230,30 @@ def hafnian(matrix, loop: bool = False) -> jnp.ndarray:
         sign = 1 if (m - k) % 2 == 0 else -1
         total = total + sign * jnp.sum(coeffs)
     return total
+
+
+def hafnian(matrix, loop: bool = False) -> jnp.ndarray:
+    """(Loop) hafnian of a symmetric matrix (parity target: reference
+    src/deepquantum/photonic/hafnian_.py:93).
+
+    Under the complex64 policy the whole evaluation runs in df32
+    double-single arithmetic (module header): plain f32 trace powers lose
+    ~1.9e-5 relative to cancellation at n=16, df32 restores the 1e-6
+    parity bar of tests/test_with_xanadu.py."""
+    matrix = jnp.asarray(matrix, dtype=cdtype())
+    size = matrix.shape[-1]
+    if size % 2 == 1:
+        if not loop:
+            return jnp.zeros((), matrix.dtype)
+        # odd loop hafnian: border with a unit diagonal entry
+        padded = jnp.zeros((size + 1, size + 1), matrix.dtype).at[0, 0].set(1)
+        matrix = padded.at[1:, 1:].set(matrix)
+        size += 1
+    if size == 0:
+        return jnp.ones((), matrix.dtype)
+    if matrix.dtype == jnp.complex64 and size >= 6:
+        return _hafnian_df32(matrix, loop)
+    return _hafnian_plain(matrix, loop)
 
 
 def hafnian_batch(matrix, loop: bool = False) -> jnp.ndarray:

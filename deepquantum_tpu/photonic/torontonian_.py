@@ -2,15 +2,42 @@
 
 TPU-native counterpart of reference src/deepquantum/photonic/torontonian_.py:
 powerset grouped by size on host, det+solve vmapped per group on device.
+
+The inclusion-exclusion sum over 2^m subsets cancels catastrophically: on
+the benchmark covariances the final value is ~1e5-1e7x smaller than the
+individual 1/sqrt(det) terms, so plain complex64 loses everything (measured
+rel err 0.75 at 2n=12). Under the complex64 policy the click-probability
+path (gamma=None) therefore computes every determinant with a df32 LDL^T
+factorization (ops/df32.py, ~2^-48 per op) over identity-padded subsets —
+one vmapped fixed-shape body for the whole powerset — and reduces the
+alternating sum in df32 as well. The reference leans on torch float64 for
+the same reason; TPUs have no f64, df32 is the native answer.
+
+The displaced variant (gamma given) additionally needs exp() of a solve,
+whose f32 evaluation already costs 2^-24 relative per term, so it stays on
+the plain path at complex64 (documented accuracy limit).
 """
 
 from __future__ import annotations
+
+import functools
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import cdtype
+from ..ops.df32 import (
+    cdf_add,
+    cdf_div,
+    cdf_lift,
+    cdf_mul,
+    cdf_neg,
+    cdf_reduce0,
+    cdf_sqrt,
+    cdf_to_complex,
+)
 from .hafnian_ import subset_index_groups
 
 __all__ = ['torontonian', 'torontonian_batch']
@@ -23,14 +50,9 @@ def _tor_helper(submat, sub_gamma):
     return jnp.exp(exp_term) / jnp.sqrt(jnp.linalg.det(cov_q_inv))
 
 
-def torontonian(o_mat, gamma=None) -> jnp.ndarray:
-    """Torontonian of a 2m x 2m matrix (reference torontonian_.py:27)."""
-    o_mat = jnp.asarray(o_mat, dtype=cdtype())
+def _torontonian_plain(o_mat, gamma) -> jnp.ndarray:
+    """Subset det+solve at the matrix's native complex precision."""
     size = o_mat.shape[-1]
-    if gamma is None:
-        gamma = jnp.zeros(size, dtype=o_mat.dtype)
-    else:
-        gamma = jnp.asarray(gamma, dtype=o_mat.dtype)
     m = size // 2
     tor = jnp.asarray((-1) ** m, o_mat.dtype)
     groups = subset_index_groups(m)
@@ -41,6 +63,119 @@ def torontonian(o_mat, gamma=None) -> jnp.ndarray:
         coeffs = jax.vmap(_tor_helper)(submats, subgammas)
         tor = tor + (-1) ** (m - k) * jnp.sum(coeffs)
     return tor
+
+
+# ------------------------------------------------------------- df32 path
+@lru_cache(maxsize=None)
+def _padded_tor_indices(m: int):
+    """Sorted (y, y+m) row indices for every nonempty mode subset, padded to
+    a common length 2m, plus the validity column mask and the
+    inclusion-exclusion sign. Padded rows/cols are filled with identity
+    (det unchanged), so one vmapped fixed-shape LDL^T covers the powerset."""
+    subsets = subset_index_groups(m)
+    count = (1 << m) - 1
+    idx = np.zeros((count, 2 * m), np.int64)
+    sign = np.zeros(count, np.float32)
+    valid = np.zeros((count, 2 * m, 1), np.float32)
+    s = 0
+    for k, y_sets in subsets.items():
+        rows = np.sort(np.concatenate([y_sets, y_sets + m], axis=1), axis=1)
+        e = s + len(rows)
+        idx[s:e, :2 * k] = rows
+        sign[s:e] = 1.0 if (m - k) % 2 == 0 else -1.0
+        valid[s:e, :2 * k] = 1.0
+        s = e
+    return idx, valid, sign
+
+
+def _cdf_ldl_det(a_re, a_im):
+    """Determinants of a batch of complex symmetric matrices (S, p, p) via
+    pivot-free LDL^T in df32. Physical cov_q_inv matrices are complex
+    symmetric with spectra bounded away from zero (Q is positive definite),
+    so pivoting is unnecessary; a singular input yields inf/nan exactly as
+    the reference's det would."""
+    p = a_re.shape[-1]
+    a = cdf_lift(a_re, a_im)
+    iota = jnp.arange(p, dtype=jnp.float32)
+
+    def step(a, j):
+        row = tuple(tuple(
+            jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-2) for x in comp)
+            for comp in a)                                   # (S, 1, p)
+        d = tuple(tuple(
+            jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-1) for x in comp)
+            for comp in row)                                 # (S, 1, 1)
+        mult = cdf_div(row, d)                               # (S, 1, p)
+        mult_t = tuple(tuple(jnp.swapaxes(x, -1, -2) for x in comp)
+                       for comp in mult)                     # (S, p, 1)
+        outer = cdf_mul(mult_t, row)                         # (S, p, p)
+        g = (iota > j).astype(jnp.float32)
+        gate = g[:, None] * g[None, :]
+        sub = tuple(tuple(x * gate for x in comp) for comp in outer)
+        a = cdf_add(a, cdf_neg(sub))
+        dj = tuple(tuple(x[..., 0, 0] for x in comp) for comp in d)
+        return a, dj
+
+    _, ds = jax.lax.scan(step, a, jnp.arange(p))
+
+    one = jnp.ones(a_re.shape[0], jnp.float32)
+    det0 = cdf_lift(one, jnp.zeros_like(one))
+
+    def mul_step(acc, dj):
+        return cdf_mul(acc, dj), None
+
+    det, _ = jax.lax.scan(mul_step, det0, ds)
+    return det
+
+
+@jax.custom_jvp
+def _torontonian_df32(o_mat):
+    """df32 click-probability torontonian of a complex64 matrix."""
+    size = o_mat.shape[-1]
+    m = size // 2
+    re = jnp.real(o_mat).astype(jnp.float32)
+    im = jnp.imag(o_mat).astype(jnp.float32)
+    idx, valid, sign = _padded_tor_indices(m)
+    mask2 = valid * np.swapaxes(valid, -1, -2)               # (S, p, p)
+    eye = np.eye(2 * m, dtype=np.float32)
+    a_re = eye - re[idx[:, :, None], idx[:, None, :]] * mask2
+    a_im = -im[idx[:, :, None], idx[:, None, :]] * mask2
+    det = _cdf_ldl_det(a_re, a_im)
+    ones = jnp.ones(det[0][0].shape, jnp.float32)
+    inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
+    signed = tuple(tuple(x * sign for x in comp) for comp in inv_sqrt)
+    total = cdf_reduce0(signed)
+    lead = float((-1) ** m)
+    total = cdf_add(total, cdf_lift(jnp.float32(lead), jnp.float32(0)))
+    return cdf_to_complex(total)
+
+
+@_torontonian_df32.defjvp
+def _torontonian_df32_jvp(primals, tangents):
+    # bitmask splits are not differentiable; tangents ride the plain-f32
+    # formulation (accuracy of the PRIMAL is what the df32 path is for)
+    (o_mat,), (dm,) = primals, tangents
+    primal = _torontonian_df32(o_mat)
+    zero_gamma = jnp.zeros(o_mat.shape[-1], o_mat.dtype)
+    _, tangent = jax.jvp(lambda a: _torontonian_plain(a, zero_gamma),
+                         (o_mat,), (dm,))
+    return primal, tangent.astype(primal.dtype)
+
+
+def torontonian(o_mat, gamma=None) -> jnp.ndarray:
+    """Torontonian of a 2m x 2m matrix (reference torontonian_.py:27).
+
+    Under the complex64 policy the gamma=None (threshold click
+    probability) case runs fully in df32 — see the module header."""
+    o_mat = jnp.asarray(o_mat, dtype=cdtype())
+    size = o_mat.shape[-1]
+    if gamma is None and o_mat.dtype == jnp.complex64 and size >= 6:
+        return _torontonian_df32(o_mat)
+    if gamma is None:
+        gamma = jnp.zeros(size, dtype=o_mat.dtype)
+    else:
+        gamma = jnp.asarray(gamma, dtype=o_mat.dtype)
+    return _torontonian_plain(o_mat, gamma)
 
 
 def torontonian_batch(o_mat, gamma=None) -> jnp.ndarray:
