@@ -65,8 +65,10 @@ def _registry_factory(name: str, default_nwires: int):
             warnings.warn(
                 'noise/den_mat on a standalone photonic gate descriptor is '
                 'accepted for reference-API parity but ignored: den_mat is a '
-                'circuit-level property and gate noise is sampled when the '
-                'gate is added to a circuit, not per forward (COMPONENTS.md).',
+                'circuit-level property, and gate noise is a circuit-level '
+                'property too — QumodeCircuit(noise=True) samples at build '
+                'time, QumodeCircuit(noise=True, noise_per_forward=True) '
+                'matches the reference per-forward jitter (COMPONENTS.md).',
                 UserWarning, stacklevel=2)
         ws = _wires(wires, default_nwires)
         return _standalone(name, ws, inputs, reg['npara'],

@@ -144,14 +144,23 @@ class QumodeCircuit:
         basis: Fock-basis mode (permanent-based) vs tensor mode.
         detector: 'pnrd' | 'threshold' (Gaussian probabilities).
         den_mat: density-matrix Fock simulation.
-        noise / mu / sigma: Gaussian parameter noise applied at build time.
+        noise / mu / sigma: Gaussian parameter noise. By default sampled once
+            at build time; with ``noise_per_forward=True`` fresh jitter is
+            sampled on EVERY forward instead, matching the reference's
+            ``init_para`` semantics (reference photonic/gate.py:326-330,
+            where encode/forward re-converts parameters and re-samples).
+        noise_per_forward: sample the Gaussian jitter per forward call. Pass
+            ``noise_key=jax.random.key(...)`` to forward() for traced,
+            jit-stable sampling; without a key the jitter is drawn host-side
+            per call (stateful like torch — a user-jitted closure would
+            freeze it, so pass a key when jitting).
     """
 
     def __init__(self, nmode: int, init_state: Any = None, cutoff: int | None = None,
                  backend: str = 'fock', basis: bool = True, detector: str = 'pnrd',
                  name: str | None = None, den_mat: bool = False, mps: bool = False,
                  chi: int | None = None, noise: bool = False, mu: float = 0,
-                 sigma: float = 0.1) -> None:
+                 sigma: float = 0.1, noise_per_forward: bool = False) -> None:
         self.nmode = nmode
         self.backend = backend
         self.basis = basis if backend == 'fock' else False
@@ -163,6 +172,8 @@ class QumodeCircuit:
         self.noise = noise
         self.mu = mu
         self.sigma = sigma
+        self.noise_per_forward = noise_per_forward
+        self._noise_pidx: list[int] = []
         self.operators: list[PhotonicOp] = []
         self.encoders: list[PhotonicOp] = []
         self._pvals: list[float] = []
@@ -243,7 +254,7 @@ class QumodeCircuit:
         for i, v in zip(idx, values):
             self._pvals[i] = float(v)
 
-    def _full_params(self, params=None, data=None, data_idx=None) -> jnp.ndarray:
+    def _full_params(self, params=None, data=None, data_idx=None, jitter=None) -> jnp.ndarray:
         full = jnp.asarray(np.asarray(self._pvals, np.float64), dtype=rdtype())
         if params is not None:
             ti = [i for i, t in enumerate(self._train_mask) if t]
@@ -251,6 +262,10 @@ class QumodeCircuit:
         if data is not None and self._enc_pidx:
             data = jnp.asarray(data, rdtype()).reshape(-1)
             full = full.at[jnp.array(self._enc_pidx, jnp.int32)].set(data[jnp.array(data_idx, jnp.int32)])
+        if jitter is not None:
+            # per-forward noise (applied AFTER params/data, like the
+            # reference's inputs_to_tensor which jitters the final values)
+            full = full + jitter
         return full
 
     def _data_indices(self, data_len: int) -> list[int]:
@@ -260,11 +275,30 @@ class QumodeCircuit:
     def _new_params(self, values, encode, requires_grad):
         start = len(self._pvals)
         if self.noise:
-            values = [v + np.random.normal(self.mu, self.sigma) for v in values]
+            if self.noise_per_forward:
+                self._noise_pidx.extend(range(start, start + len(values)))
+            else:
+                values = [v + np.random.normal(self.mu, self.sigma) for v in values]
         idx = tuple(range(start, start + len(values)))
         self._pvals.extend(float(v) for v in values)
         self._train_mask.extend([requires_grad and not encode] * len(values))
         return idx
+
+    def _noise_jitter(self, key=None):
+        """Fresh per-forward Gaussian jitter over the noisy parameter slots
+        (None when per-forward noise is off). With a PRNG key the jitter is
+        traced (jit-stable); without one it is drawn host-side per call,
+        matching the reference's stateful torch.normal."""
+        if not (self.noise and self.noise_per_forward and self._noise_pidx):
+            return None
+        pidx = np.asarray(self._noise_pidx, np.int32)
+        n = len(self._pvals)
+        if key is None:
+            vec = np.zeros(n, np.float64)
+            vec[pidx] = np.random.normal(self.mu, self.sigma, len(pidx))
+            return jnp.asarray(vec, rdtype())
+        eps = self.mu + self.sigma * jax.random.normal(key, (len(pidx),), rdtype())
+        return jnp.zeros(n, rdtype()).at[pidx].add(eps)
 
     # ------------------------------------------------------------------ add
     def add_op(self, name: str, wires, inputs=None, encode=False, requires_grad=None,
@@ -427,14 +461,16 @@ class QumodeCircuit:
 
     # --------------------------------------------------------------- forward
     def __call__(self, data=None, state=None, is_prob=None, detector=None,
-                 sort=True, stepwise=False, params=None):
-        return self.forward(data, state, is_prob, detector, sort, stepwise, params)
+                 sort=True, stepwise=False, params=None, noise_key=None):
+        return self.forward(data, state, is_prob, detector, sort, stepwise,
+                            params, noise_key)
 
     def forward(self, data=None, state=None, is_prob=None, detector=None,
-                sort=True, stepwise=False, params=None):
+                sort=True, stepwise=False, params=None, noise_key=None):
+        jitter = self._noise_jitter(noise_key)
         if self.backend == 'fock':
-            return self._forward_fock(data, state, is_prob, sort, params)
-        return self._forward_cv(data, state, is_prob, detector, params)
+            return self._forward_fock(data, state, is_prob, sort, params, jitter)
+        return self._forward_cv(data, state, is_prob, detector, params, jitter)
 
     # Fock-basis helpers ----------------------------------------------------
     def _basis_input(self, state) -> np.ndarray:
@@ -561,23 +597,23 @@ class QumodeCircuit:
                 cir.measurements.append(m2)
         return cir
 
-    def _forward_fock(self, data, state, is_prob, sort, params=None):
+    def _forward_fock(self, data, state, is_prob, sort, params=None, jitter=None):
         if not self.basis:
-            return self._forward_fock_tensor(data, state, is_prob, params)
+            return self._forward_fock_tensor(data, state, is_prob, params, jitter)
         in_state = self._basis_input(state)
         if in_state.ndim == 2:
             # batched basis inputs: host loop over rows (reference vmaps the
             # same helper, circuit.py:341-368); outputs merge per state
-            outs = [self._forward_fock(data, row, is_prob, sort, params)
+            outs = [self._forward_fock(data, row, is_prob, sort, params, jitter)
                     for row in in_state]
             self.state = outs
             return outs
-        if is_prob is None and data is None and params is None:
+        if is_prob is None and data is None and params is None and jitter is None:
             self.state = self.get_unitary()
             return self.state
         out_basis = self._output_basis(in_state)
         self._basis_table = out_basis
-        amps = self._fock_basis_amps(data, in_state, out_basis, params)
+        amps = self._fock_basis_amps(data, in_state, out_basis, params, jitter)
         if is_prob is None:
             self.state = self.get_unitary(params, data)
             return self.state
@@ -597,10 +633,11 @@ class QumodeCircuit:
         self.state = out
         return out
 
-    def _fock_basis_amps(self, data, in_state, out_basis, params=None) -> jnp.ndarray:
+    def _fock_basis_amps(self, data, in_state, out_basis, params=None,
+                         jitter=None) -> jnp.ndarray:
         """Dense amplitude vector over the static output-basis table."""
         key = ('fock_amps', self._version, tuple(in_state), tuple(out_basis),
-               None if data is None else jnp.shape(data))
+               None if data is None else jnp.shape(data), jitter is None)
         fn = self._cache.get(key)
         if fn is None:
             nphoton = int(np.sum(in_state))
@@ -612,10 +649,10 @@ class QumodeCircuit:
                         * np.prod([factorial(int(x)) for x in b]))
                 for b in out_basis])
 
-            def amps_fn(params_, data_):
+            def amps_fn(params_, data_, jitter_):
                 didx = None if data_ is None else self._data_indices(data_.shape[-1])
                 def one(d):
-                    full = self._full_params(params_, d, didx)
+                    full = self._full_params(params_, d, didx, jitter_)
                     u = self._get_unitary_traced(full)
                     sub = u[row_idx[:, :, None], col_idx[None, None, :]]  # (nout, k, k)
                     perms = permanent_batch(sub)   # one Pallas grid on TPU
@@ -628,12 +665,12 @@ class QumodeCircuit:
             fn = jax.jit(amps_fn)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        return fn(p, data)
+        return fn(p, data, jitter)
 
     # Fock-tensor helpers ---------------------------------------------------
-    def _forward_fock_tensor(self, data, state, is_prob, params=None):
+    def _forward_fock_tensor(self, data, state, is_prob, params=None, jitter=None):
         if self.mps:
-            return self._forward_fock_mps(data, state, params)
+            return self._forward_fock_mps(data, state, params, jitter)
         if state is None:
             state = self.init_state
         if isinstance(state, FockState):
@@ -644,13 +681,14 @@ class QumodeCircuit:
             if _eager():
                 from ..utils.compat import to_device
                 state = to_device(state)
-        key = ('fock_tensor', self._version, None if data is None else jnp.shape(data), bool(is_prob))
+        key = ('fock_tensor', self._version, None if data is None else jnp.shape(data),
+               bool(is_prob), jitter is None)
         fn = self._cache.get(key)
         if fn is None:
-            def run(params_, data_, state_):
+            def run(params_, data_, state_, jitter_):
                 didx = None if data_ is None else self._data_indices(data_.shape[-1])
                 def one(d, s):
-                    full = self._full_params(params_, d, didx)
+                    full = self._full_params(params_, d, didx, jitter_)
                     return self._run_fock_tensor(full, s, is_prob)
                 if data_ is None:
                     return one(None, state_)
@@ -660,10 +698,10 @@ class QumodeCircuit:
             fn = jax.jit(run)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        self.state = fn(p, data, state)
+        self.state = fn(p, data, state, jitter)
         return self.state
 
-    def _forward_fock_mps(self, data, state, params=None):
+    def _forward_fock_mps(self, data, state, params=None, jitter=None):
         from ..mps import MatrixProductState, apply_gate_mps
         if state is None:
             state = self.init_state
@@ -671,12 +709,13 @@ class QumodeCircuit:
         if _eager():
             from ..utils.compat import to_device
             tensors = [to_device(t) if isinstance(t, np.ndarray) else t for t in tensors]
-        key = ('fock_mps', self._version, None if data is None else jnp.shape(data))
+        key = ('fock_mps', self._version, None if data is None else jnp.shape(data),
+               jitter is None)
         fn = self._cache.get(key)
         if fn is None:
-            def run(params_, data_, tensors_):
+            def run(params_, data_, tensors_, jitter_):
                 didx = None if data_ is None else self._data_indices(data_.shape[-1])
-                full = self._full_params(params_, data_, didx)
+                full = self._full_params(params_, data_, didx, jitter_)
                 st = (list(tensors_), -1)
                 for op in self.operators:
                     if op.kind != 'gate':
@@ -690,7 +729,7 @@ class QumodeCircuit:
             fn = jax.jit(run)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        out = fn(p, data, tensors)
+        out = fn(p, data, tensors, jitter)
         if _eager():
             from ..utils.compat import normalize_layout
             out = [normalize_layout(t) for t in out]
@@ -728,7 +767,7 @@ class QumodeCircuit:
         return x
 
     # CV helpers ------------------------------------------------------------
-    def _forward_cv(self, data, state, is_prob, detector, params=None):
+    def _forward_cv(self, data, state, is_prob, detector, params=None, jitter=None):
         if state is None:
             if self.backend == 'bosonic' and self._bosonic_states is not None:
                 from .state import combine_bosonic_states
@@ -765,13 +804,13 @@ class QumodeCircuit:
             self._unroll_circuit()
             cov, mean = self._unroll_init_state(cov, mean)
         key = ('cv', self._version, None if data is None else jnp.shape(data),
-               jnp.shape(cov), self.backend)
+               jnp.shape(cov), self.backend, jitter is None)
         fn = self._cache.get(key)
         if fn is None:
-            def run(params_, data_, cov_, mean_):
+            def run(params_, data_, cov_, mean_, jitter_):
                 didx = None if data_ is None else self._data_indices(data_.shape[-1])
                 def one(d, c_, m_):
-                    full = self._full_params(params_, d, didx)
+                    full = self._full_params(params_, d, didx, jitter_)
                     return self._run_cv(full, c_, m_)
                 if data_ is None:
                     return one(None, cov_, mean_)
@@ -787,7 +826,7 @@ class QumodeCircuit:
             fn = jax.jit(run)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        cov, mean = fn(p, data, cov, mean)
+        cov, mean = fn(p, data, cov, mean, jitter)
         self._cv_state = [cov, mean] if weight is None else [cov, mean, weight]
         if is_prob:
             self.state = self._forward_cv_prob(cov, mean, weight, detector)

@@ -368,3 +368,54 @@ def test_bs_theta_phi_conventions_match_reference():
         u_o = np.asarray(ours.get_unitary())
         u_t = theirs.get_unitary().detach().numpy()
         np.testing.assert_allclose(u_o, u_t, atol=1e-6)
+
+
+def test_noise_per_forward_matches_reference_statistics():
+    """noise_per_forward=True re-samples Gaussian jitter on every forward,
+    matching the reference semantics where init_para/inputs_to_tensor adds
+    fresh noise per encode/forward (reference photonic/gate.py:326-330)."""
+    import jax
+
+    sigma = 0.2
+    theta, phi = 0.7, 0.3
+
+    def build(per_forward):
+        cir = QumodeCircuit(2, backend='gaussian', noise=True, mu=0.0,
+                            sigma=sigma, noise_per_forward=per_forward)
+        cir.s(0, r=theta, theta=phi)
+        return cir
+
+    # build-time noise (default): repeated forwards are identical
+    cir0 = build(False)
+    cov_a = np.asarray(cir0()[0])
+    cov_b = np.asarray(cir0()[0])
+    np.testing.assert_array_equal(cov_a, cov_b)
+
+    # per-forward noise: host-side sampling varies between calls
+    cir = build(True)
+    c1 = np.asarray(cir()[0])
+    c2 = np.asarray(cir()[0])
+    assert np.max(np.abs(c1 - c2)) > 1e-6
+
+    # traced sampling: forward(noise_key=k) == noiseless forward at the
+    # jittered parameter values (mechanism is exact, not just statistical)
+    key = jax.random.key(7)
+    jitter = np.asarray(cir._noise_jitter(key))
+    noisy = np.asarray(cir.forward(noise_key=key)[0])
+    clean = QumodeCircuit(2, backend='gaussian')
+    clean.s(0, r=theta + jitter[0], theta=phi + jitter[1])
+    np.testing.assert_allclose(noisy, np.asarray(clean()[0]), atol=1e-6)
+
+    # statistics match the reference's noisy forward distribution
+    # (cov entries are heavy-tailed in e^{2r}; compare stds at 15% with
+    # 1000 draws each)
+    rng_draws = 1000
+    ours = np.stack([np.asarray(cir()[0]).reshape(4, 4) for _ in range(rng_draws)])
+    ref_cir = ref_dq.QumodeCircuit(nmode=2, init_state='vac', backend='gaussian',
+                                   noise=True, mu=0.0, sigma=sigma)
+    ref_cir.s(0, r=theta, theta=phi)
+    refs = np.stack([ref_cir()[0].squeeze(0).detach().numpy()
+                     for _ in range(rng_draws)])
+    ours_std, refs_std = ours.std(0), refs.std(0)
+    mask = refs_std > 0.05
+    np.testing.assert_allclose(ours_std[mask], refs_std[mask], rtol=0.15)
