@@ -25,10 +25,18 @@ selected by the row bits, and summed — 2^K reads + 1 write of the state per
 step, all fused by XLA.
 
 Table construction is grouped by gate kind and vmapped, so trace cost is
-O(#distinct kinds), not O(depth). Expectation inner products lower to psum
-when the state is GSPMD-sharded, so the same code serves
-DistributedQubitCircuit (reference circuit.py:1706 + adjoint.py:19-83 do this
-with one explicit all_reduce per parameter).
+O(#distinct kinds), not O(depth). For a DistributedQubitCircuit the initial
+state is pinned to the circuit's mesh sharding (init_psi below), so both
+scan passes stay sharded and the per-parameter inner products lower to psum
+(reference circuit.py:1706 + adjoint.py:19-83 do this with one explicit
+all_reduce per parameter); verified on the 8-device mesh by
+tests/test_distributed.py::test_distributed_adjoint_expectation_on_mesh.
+
+Role: this path is the API-parity + O(1)-compile exhibit for
+``expectation(adjoint=True)``. Its dynamic-wire gather formulation is ~2
+orders slower per step than the planar Pallas chain VJP (results.json
+``gradient_adjoint_ms`` vs ``gradient_ms``) — training workloads should use
+the default AD paths (planar chain single-chip, shard_map chain multi-chip).
 """
 
 from __future__ import annotations
@@ -180,9 +188,17 @@ def make_adjoint_expectation(cir, observable_idx: int = 0):
     Wj = jnp.asarray(W)
     PJj = jnp.asarray(PJ)
 
+    # mesh-sharded circuits (DistributedQubitCircuit) carry their sharding in
+    # sim.sharding; constraining the initial state pins the whole scan chain
+    # (both passes) to the mesh so inner products lower to psum
+    sharding = getattr(getattr(cir, 'sim', None), 'sharding', None)
+
     def init_psi():
         init = np.asarray(cir.init_state.state).reshape(-1)
-        return jnp.asarray(init, cdtype())
+        psi = jnp.asarray(init, cdtype())
+        if sharding is not None:
+            psi = jax.lax.with_sharding_constraint(psi, sharding)
+        return psi
 
     def run_forward(U):
         def step(psi, xs):

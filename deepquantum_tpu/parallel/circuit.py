@@ -89,13 +89,19 @@ class DistributedQubitCircuit(QubitCircuit):
         assert len(self.observables) > 0, 'There is no observable'
         if adjoint:
             # O(1)-memory adjoint path (reference circuit.py:1706 uses
-            # AdjointExpectation for the distributed circuit)
+            # AdjointExpectation for the distributed circuit); jitted so the
+            # sharding constraint takes effect and axon eager quirks are
+            # avoided, cached per circuit version
             from ..adjoint import make_adjoint_expectation
             assert data is None, 'adjoint path takes parameters only'
+            key = ('adjexp', self._version, len(self.observables))
+            fns = self._cache.get(key)
+            if fns is None:
+                fns = [jax.jit(make_adjoint_expectation(self, i))
+                       for i in range(len(self.observables))]
+                self._cache[key] = fns
             p = self.params if params is None else jnp.asarray(params, rdtype())
-            outs = [make_adjoint_expectation(self, i)(p)
-                    for i in range(len(self.observables))]
-            return jnp.stack(outs, axis=-1)
+            return jnp.stack([fn(p) for fn in fns], axis=-1)
         if self.engine == 'shardmap':
             key = ('smexp', self._version, None if data is None else jnp.shape(data),
                    state is None)

@@ -64,7 +64,7 @@ class DistributedQumodeCircuit(QumodeCircuit):
         self.sharding = NamedSharding(mesh, P('sv'))
 
     def forward(self, data=None, state=None, is_prob=None, detector=None,
-                sort=True, stepwise=False, params=None):
+                sort=True, stepwise=False, params=None, noise_key=None):
         if state is None:
             init = self.init_state.state
             if not isinstance(init, np.ndarray):
@@ -77,19 +77,21 @@ class DistributedQumodeCircuit(QumodeCircuit):
         if isinstance(state, np.ndarray):
             from ..utils.compat import to_device
             state = jax.device_put(to_device(state.astype(cdtype())), self.sharding)
-        key = ('dist_fock', self._version, None if data is None else jnp.shape(data))
+        jitter = self._noise_jitter(noise_key)
+        key = ('dist_fock', self._version, None if data is None else jnp.shape(data),
+               jitter is None)
         fn = self._cache.get(key)
         if fn is None:
-            def run(params_, data_, state_):
+            def run(params_, data_, state_, jitter_):
                 didx = None if data_ is None else self._data_indices(data_.shape[-1])
-                full = self._full_params(params_, data_, didx)
+                full = self._full_params(params_, data_, didx, jitter_)
                 out = self._run_fock_tensor(full, state_, None)
                 out = jax.lax.with_sharding_constraint(out.reshape(-1), self.sharding)
                 return out
             fn = jax.jit(run, out_shardings=self.sharding)
             self._cache[key] = fn
         p = None if params is None else jnp.asarray(params, rdtype())
-        self.state = fn(p, data, state)
+        self.state = fn(p, data, state, jitter)
         return self.state
 
     def measure(self, shots: int = 1024, with_prob: bool = False, wires=None,

@@ -480,3 +480,41 @@ def test_shardmap_gradient_pallas_interpret():
     g_ref = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
     np.testing.assert_allclose(e, e_ref, atol=1e-5)
     np.testing.assert_allclose(g, g_ref, atol=1e-5)
+
+
+def test_distributed_adjoint_expectation_on_mesh():
+    """DistributedQubitCircuit.expectation(adjoint=True) on the 8-device
+    mesh: the initial state is pinned to the circuit's sharding
+    (adjoint.py init_psi), values and gradients match the plain
+    (autodiff) distributed expectation and the local circuit."""
+    from deepquantum_tpu.adjoint import make_adjoint_expectation
+
+    n = 5
+
+    def build(c):
+        for i in range(n):
+            c.ry(i, inputs=0.2 + 0.1 * i)
+        for i in range(n - 1):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.rz(i, inputs=0.1 * i)
+        c.observable(0, basis='z')
+        c.observable([1, 2], basis='xy')
+
+    dist = DistributedQubitCircuit(n, mesh=make_mesh(8), engine='gspmd')
+    build(dist)
+    dist._train_mask = [True] * len(dist._pvals)
+    local = dq.QubitCircuit(n)
+    build(local)
+    local._train_mask = [True] * len(local._pvals)
+
+    p = dist.params
+    e_adj = np.asarray(dist.expectation(params=p, adjoint=True))
+    e_ad = np.asarray(dist.expectation(params=p))
+    e_loc = np.asarray(local.expectation(params=p))
+    np.testing.assert_allclose(e_adj, e_ad, atol=1e-8)
+    np.testing.assert_allclose(e_adj, e_loc, atol=1e-8)
+
+    g_adj = jax.grad(lambda q: make_adjoint_expectation(dist, 0)(q))(p)
+    g_ad = jax.grad(lambda q: local.expectation(params=q)[0])(p)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ad), atol=1e-8)
