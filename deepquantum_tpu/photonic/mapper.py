@@ -3,17 +3,28 @@ dual-rail encoding with post-selection.
 
 Functional counterpart of reference src/deepquantum/photonic/mapper.py:18-463.
 The reference builds symbolic permanent equations (sympy) and roots them with
-random restarts; here the same defining equations
+random restarts, shipping the precomputed equation-index tensors as package
+data (reference mapper.py:75-86); here the same defining equations
 
     <out_i| U_optical |in_j>  =  success * U_gate[i, j]
 
 are solved directly with scipy.optimize.least_squares over the (real or
 complex) entries of the nmode x nmode matrix, with unitarity residuals.
+
+Performance structure replacing the reference's index caches: the Ryser
+evaluation of ALL dim^2 transfer permanents is precomputed at construction
+into batched gather indices + subset masks, so every least-squares residual
+call is a handful of vectorized numpy contractions instead of dim^2 * 2^k
+Python-loop permanents. Solved unitaries are additionally cached on disk
+(keyed by gate/modes/aux/success), so repeat solves — the case the
+reference's package data serves — return instantly.
 """
 
 from __future__ import annotations
 
+import hashlib
 import itertools
+import os
 from math import factorial
 
 import numpy as np
@@ -34,6 +45,14 @@ def _permanent_np(mat: np.ndarray) -> complex:
     return (-1) ** n * total
 
 
+def _cache_dir() -> str:
+    base = os.environ.get('DQ_MAPPER_CACHE',
+                          os.path.join(os.path.expanduser('~'), '.cache',
+                                       'deepquantum_tpu', 'mapper'))
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 class UnitaryMapper:
     """Map a qubit gate to an optical unitary (API parity with reference mapper.py:18)."""
 
@@ -49,6 +68,7 @@ class UnitaryMapper:
             aux_pos = [nmode - 2, nmode - 1]
         self.aux_position = aux_pos
         self.basis = self.create_basis(aux_pos if aux else [])
+        self._build_transfer_structure()
 
     def create_basis(self, aux_position) -> list[np.ndarray]:
         """Dual-rail computational basis states (reference mapper.py:90)."""
@@ -72,18 +92,39 @@ class UnitaryMapper:
         rows = np.repeat(np.arange(len(out_state)), out_state)
         return u[np.ix_(rows, cols)]
 
+    def _build_transfer_structure(self) -> None:
+        """Precompute, once per instance, the batched Ryser structure for
+        ALL dim^2 transfer permanents (the analog of the reference's
+        shipped index tensors, mapper.py:75-86)."""
+        dim = len(self.basis)
+        k = int(np.sum(self.basis[0]))          # photons, equal for all states
+        rows = [np.repeat(np.arange(self.nmode), b) for b in self.basis]
+        cols = rows                              # same basis both sides
+        # (dim*dim, k) row/col gather indices, i-major like get_transfer_mat
+        self._tr_rows = np.stack([rows[i] for i in range(dim)
+                                  for _ in range(dim)])
+        self._tr_cols = np.stack([cols[j] for _ in range(dim)
+                                  for j in range(dim)])
+        # Ryser subset masks (S, k) and signs, shared by every pair
+        s = np.arange(1, 1 << k)
+        self._tr_masks = ((s[:, None] >> np.arange(k)[None, :]) & 1).astype(np.float64)
+        card = self._tr_masks.sum(axis=1)
+        self._tr_signs = ((-1.0) ** card) * ((-1.0) ** k)
+        norms = np.array([np.sqrt(np.prod([factorial(int(x)) for x in b]))
+                          for b in self.basis])
+        self._tr_norm = np.outer(norms, norms)
+        self._tr_dim, self._tr_k = dim, k
+
     def get_transfer_mat(self, u: np.ndarray) -> np.ndarray:
         """Post-selected transfer amplitudes between dual-rail basis states
-        (reference mapper.py:178)."""
-        dim = len(self.basis)
-        t = np.zeros((dim, dim), dtype=complex)
-        for j, bin_ in enumerate(self.basis):
-            norm_in = np.sqrt(np.prod([factorial(int(x)) for x in bin_]))
-            for i, bout in enumerate(self.basis):
-                norm_out = np.sqrt(np.prod([factorial(int(x)) for x in bout]))
-                sub = self._sub_matrix(u, bin_, bout)
-                t[i, j] = _permanent_np(sub) / (norm_in * norm_out)
-        return t
+        (reference mapper.py:178) — one vectorized Ryser evaluation over all
+        dim^2 submatrices."""
+        u = np.asarray(u, dtype=complex)
+        dim, k = self._tr_dim, self._tr_k
+        subs = u[self._tr_rows[:, :, None], self._tr_cols[:, None, :]]  # (B, k, k)
+        rowsums = np.einsum('sk,bkj->bsj', self._tr_masks, subs)         # (B, S, k)
+        perms = self._tr_signs @ np.prod(rowsums, axis=2).T              # (B,)
+        return perms.reshape(dim, dim) / self._tr_norm
 
     def _residuals(self, y: np.ndarray, complex_u: bool) -> np.ndarray:
         m = self.nmode
@@ -110,8 +151,28 @@ class UnitaryMapper:
         (reference mapper.py:304)."""
         return self._solve(total_trials, precision, complex_u=True)
 
+    def _cache_key(self, complex_u: bool) -> str:
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(self.ugate).tobytes())
+        h.update(repr((self.nqubit, self.nmode, self.success, self.aux,
+                       self.aux_position, complex_u)).encode())
+        return h.hexdigest()[:24]
+
     def _solve(self, total_trials, precision, complex_u):
         m = self.nmode
+        # disk result cache (the role the reference's shipped index tensors
+        # play): repeat solves of the same gate/mode/aux instance are free
+        path = os.path.join(_cache_dir(), f'{self._cache_key(complex_u)}.npz')
+        if os.path.exists(path):
+            try:
+                sols = np.load(path)['solutions']
+                if all(np.max(np.abs(self._residuals(
+                        np.concatenate([u.real.ravel(), u.imag.ravel()])
+                        if complex_u else u.real.ravel(), complex_u))) < precision
+                       for u in sols):
+                    return list(sols)
+            except Exception:  # noqa: BLE001 - corrupt cache falls through
+                pass
         solutions = []
         rng = np.random.default_rng(0)
         for _ in range(total_trials):
@@ -124,6 +185,11 @@ class UnitaryMapper:
                 else:
                     u = sol.x.reshape(m, m).astype(complex)
                 solutions.append(u)
+        if solutions:
+            try:
+                np.savez(path, solutions=np.stack(solutions))
+            except OSError:
+                pass
         return solutions
 
     @staticmethod
