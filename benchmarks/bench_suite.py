@@ -244,26 +244,43 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
     return out
 
 
-def bench_hessian(ns=(2, 6, 10, 14, 18), nlayer=1, steps=3):
-    """Reference hessian_deepquantum.py: full Hessian of the expectation."""
+def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
+    """Reference hessian_deepquantum.py: full Hessian of the expectation on
+    the reference's n x layer grid (3*n*l parameters per cell). Cells whose
+    Hessian exceeds the memory guard are skipped and recorded as such."""
     import jax
     out = {}
-    for n in ns:
-        cir = _build_vqe(n, nlayer)
-        hess_fn = jax.hessian(lambda p: cir.expectation(params=p)[0])
+    for nlayer in grid[1]:
+        for n in grid[0]:
+            npara = 3 * n * nlayer
+            # forward-over-reverse vmaps npara tangents over the grad graph:
+            # ~npara * 2 states of 2^n c64 live at once
+            est_gb = npara * 2 * (1 << n) * 8 / 1e9
+            if est_gb > 8.0:
+                print(f'hessian n={n} l={nlayer}: skipped (~{est_gb:.0f} GB '
+                      f'forward-over-reverse working set)')
+                out[f'n{n}_l{nlayer}'] = None
+                continue
+            cir = _build_vqe(n, nlayer)
+            hess_fn = jax.hessian(lambda p: cir.expectation(params=p)[0])
 
-        def make_loop(k):
-            def loop(p):
-                def body(p, _):
-                    h = hess_fn(p)
-                    return p + 1e-6 * jax.numpy.diagonal(h), None
-                return jax.lax.scan(body, p, None, length=k)[0]
-            return loop
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        h = hess_fn(p)
+                        return p + 1e-6 * jax.numpy.diagonal(h), None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
 
-        with _maybe_profile(f'hessian_n{n}'):
-            ms = _scan_time(make_loop, cir.params, steps)
-        out[f'n{n}_l{nlayer}'] = ms
-        print(f'hessian n={n} l={nlayer}: {ms:.2f} ms')
+            try:
+                with _maybe_profile(f'hessian_n{n}_l{nlayer}'):
+                    ms = _scan_time(make_loop, cir.params, steps)
+            except Exception as e:  # noqa: BLE001
+                print(f'hessian n={n} l={nlayer}: failed ({type(e).__name__})')
+                out[f'n{n}_l{nlayer}'] = None
+                continue
+            out[f'n{n}_l{nlayer}'] = ms
+            print(f'hessian n={n} l={nlayer}: {ms:.2f} ms')
     return out
 
 

@@ -379,6 +379,114 @@ def _grad_kernel_body(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
                     out_ref[0, 1, i_out, i_in] = jnp.sum(gi * xr - gr * xi)
 
 
+def _grad_kernel_body_mxu(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
+    """MXU variant of the cotangent reduction (VERDICT round-2 item: the VPU
+    form's 2*K^2 scalar block-sums scale as ~4^K and make K=3 fusion lose to
+    K=2 in training). All K masked-g combos and K rolled-x versions are
+    stacked once, and the whole (K, K) reduction is four dot_generals with
+    the lane axis contracting and the sublane axis as batch (Mosaic accepts
+    a single contracting dim; sublanes reduce in a tiny VPU epilogue).
+
+    Output is in VERSION space: out[.., i_out, (b<<nr)|v] holds the inner
+    product with version v of slice b; the caller gathers columns through
+    the vrev(lo^li) permutation (scalar scatters can't target VMEM, and the
+    (K, K) tensor store requires VMEM, so the permutation moves outside).
+
+    Enabled with DQ_GRAD_MXU=1; default stays VPU until the TPU measurement
+    (prototype: ~8% faster at DEFAULT precision but 3e-3 error — bf16
+    passes; HIGHEST restores accuracy)."""
+    from jax.experimental.pallas import tpu as pltpu
+    nv = 1 << len(roll_info)
+    KH = 1 << kh
+    nr = len(roll_info)
+
+    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
+    bit_vecs = []
+    for axis, stride in roll_info:
+        ids = sub_id if axis == 0 else lane_id
+        shift = stride.bit_length() - 1
+        bit_vecs.append((ids >> shift) & 1)
+
+    def h_index(h):
+        idx = []
+        for i in range(kh):
+            idx.extend([0, (h >> (kh - 1 - i)) & 1])
+        idx.append(0)
+        return tuple(idx)
+
+    masks = []
+    for lo in range(nv):
+        m = None
+        for bi in range(nr):
+            want = (lo >> (nr - 1 - bi)) & 1
+            mb = (bit_vecs[bi] == want)
+            m = mb if m is None else jnp.logical_and(m, mb)
+        masks.append(None if m is None else m.astype(jnp.float32))
+
+    G_all = [[], []]   # K rows of (rb, T): g slice a masked by lo
+    X_all = [[], []]   # K cols of (rb, T): version v of x slice b
+    for p in range(2):
+        for a in range(KH):
+            ga = g_ref[(p,) + h_index(a)]
+            for lo in range(nv):
+                G_all[p].append(ga if masks[lo] is None else ga * masks[lo])
+        for b in range(KH):
+            s0 = x_ref[(p,) + h_index(b)]
+            vs = [s0]
+            for bi, (axis, stride) in enumerate(roll_info):
+                mask = bit_vecs[bi].astype(jnp.bool_)
+                size = rb if axis == 0 else _T
+                cur = len(vs)
+                for vv in range(cur):
+                    v = vs[vv]
+                    vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
+                                        pltpu.roll(v, size - stride, axis)))
+            X_all[p].extend(vs)
+
+    gr = jnp.stack(G_all[0], axis=1)   # (rb, K, T)
+    gi = jnp.stack(G_all[1], axis=1)
+    xr = jnp.stack(X_all[0], axis=1)
+    xi = jnp.stack(X_all[1], axis=1)
+    dn = (((2,), (2,)), ((0,), (0,)))
+    hp = jax.lax.Precision.HIGHEST
+    rr = jax.lax.dot_general(gr, xr, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ii = jax.lax.dot_general(gi, xi, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ir = jax.lax.dot_general(gi, xr, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ri = jax.lax.dot_general(gr, xi, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.sum(rr + ii, axis=0)
+    out_ref[0, 1] = jnp.sum(ir - ri, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _version_perm(kh: int, nr: int):
+    """Column gather map from version space to matrix-index space:
+    dm[i, (b<<nr)|li] = M[i, perm[i, (b<<nr)|li]], perm value (b<<nr)|vrev."""
+    KH, nv = 1 << kh, 1 << nr
+    K = KH * nv
+
+    def vrev(v):
+        return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
+
+    perm = np.empty((K, K), np.int64)
+    for a in range(KH):
+        for lo in range(nv):
+            i = (a << nr) | lo
+            for b in range(KH):
+                for li in range(nv):
+                    perm[i, (b << nr) | li] = (b << nr) | vrev(lo ^ li)
+    return np.arange(K)[:, None], perm
+
+
+def _use_mxu_grad() -> bool:
+    import os
+    return os.environ.get('DQ_GRAD_MXU', '0') == '1'
+
+
 def _planar_grad(g, x, n: int, wires, interpret: bool = False):
     """Matrix-plane cotangents (dmre, dmim), each (K, K) f32 — or (B, K, K)
     for batched (B, 2, 2^n) inputs — via one Pallas reduction pass over g
@@ -427,10 +535,19 @@ def _planar_grad(g, x, n: int, wires, interpret: bool = False):
             return (flat, 0, 0, 0)
 
     nout = nblocks if bsz is None else bsz * nblocks
-    kernel = functools.partial(_grad_kernel_body, kh=kh, roll_info=roll_info, rb=rb)
+    use_mxu = _use_mxu_grad()
+    if use_mxu:
+        kernel = functools.partial(_grad_kernel_body_mxu, kh=kh,
+                                   roll_info=roll_info, rb=rb)
+        # tensor (K, K) stores are fine in VMEM (only scalar stores are
+        # SMEM-only); the version-space column gather happens below
+        out_spec = pl.BlockSpec((1, 2, K, K), out_index, memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_grad_kernel_body, kh=kh,
+                                   roll_info=roll_info, rb=rb)
+        # scalar stores are an SMEM-only operation on TPU
+        out_spec = pl.BlockSpec((1, 2, K, K), out_index, memory_space=pltpu.SMEM)
     spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
-    # scalar stores are an SMEM-only operation on TPU
-    out_spec = pl.BlockSpec((1, 2, K, K), out_index, memory_space=pltpu.SMEM)
     parts = pl.pallas_call(
         kernel,
         grid=tuple(full_grid),
@@ -441,8 +558,13 @@ def _planar_grad(g, x, n: int, wires, interpret: bool = False):
     )(g.reshape(shape), x.reshape(shape))
     if batched:
         total = jnp.sum(parts.reshape(bsz, nblocks, 2, K, K), axis=1)
+    else:
+        total = jnp.sum(parts, axis=0)
+    if use_mxu and len(roll_info) > 0:
+        rows, perm = _version_perm(kh, len(roll_info))
+        total = total[..., rows, perm]
+    if batched:
         return total[:, 0], total[:, 1]
-    total = jnp.sum(parts, axis=0)
     return total[0], total[1]
 
 

@@ -123,6 +123,30 @@ def test_planar_shardmap_engine(c64):
                                e_local, atol=1e-5)
 
 
+@pytest.mark.parametrize('n,wires', [
+    (10, (0,)), (10, (9,)), (10, (3, 7)), (12, (0, 5, 11)), (12, (10, 11)),
+])
+def test_planar_grad_mxu_matches_vpu(n, wires, c64):
+    """DQ_GRAD_MXU=1 routes the matrix-cotangent reduction through the
+    dot_general (MXU) kernel body; its version-space output gathered through
+    _version_perm must equal the VPU scalar-store kernel on every wire
+    regime (VERDICT r2 item 6)."""
+    from deepquantum_tpu.ops.planar_gate import _planar_grad
+    rng = np.random.default_rng(n + len(wires))
+    g = jnp.asarray(rng.standard_normal((2, 1 << n)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 1 << n)).astype(np.float32))
+    os.environ['DQ_GRAD_MXU'] = '1'
+    try:
+        dre, dim = _planar_grad(g, x, n, tuple(wires), interpret=True)
+    finally:
+        os.environ.pop('DQ_GRAD_MXU', None)
+    rre, rim = _planar_grad(g, x, n, tuple(wires), interpret=True)
+    # both reduce 2^n f32 products per entry — tolerance is accumulation
+    # order, not algorithm
+    np.testing.assert_allclose(np.asarray(dre), np.asarray(rre), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dim), np.asarray(rim), atol=2e-4)
+
+
 def test_planar_batched_forward_expectation_grad(c64):
     """Batched (vmapped-data) QML rides the planar kernel as a GRID axis
     (pallas_call does not vmap): forward states, expectation values, and
