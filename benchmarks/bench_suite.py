@@ -152,12 +152,13 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
     return out
 
 
-def bench_gradient_adjoint(ns=(14,), nlayer=5, steps=5):
+def bench_gradient_adjoint(ns=(14, 18), nlayer=5, steps=5):
     """The complex lax.scan adjoint path (adjoint.py) — kept for the
     distributed API; at n >= 12 the planar chain VJP (ops/planar_gate.py)
     supersedes it (same O(1) memory, ~500x faster: 2.1 ms vs 1089 ms at
-    n=14/l=5) and carries gradient_large to n=28. n > 14 runs have crashed
-    the remote TPU worker, so the sweep stays at n=14."""
+    n=14/l=5) and carries gradient_large to n=28. The sweep runs LAST in
+    SECTIONS: the pre-sharding path once hard-crashed the remote worker at
+    n > 14, so a repeat loses nothing already recorded."""
     import jax
     from deepquantum_tpu.adjoint import make_adjoint_expectation
     out = {}
@@ -373,7 +374,8 @@ def _permanent_host_f64(a: np.ndarray, chunk: int = 1 << 16) -> complex:
     return complex(total * (1 if n % 2 == 0 else -1))
 
 
-def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
+def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4,
+                    sweep_n=14, sweep_batches=(1, 10, 100, 1000)):
     """df32 Pallas kernel (TPU default path), batched grid launch. Records
     both latency and on-chip relative error vs the host f64 Ryser oracle
     (the round-1 review required a recorded on-chip parity run)."""
@@ -409,6 +411,20 @@ def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4):
         out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel)
         print(f'permanent n={n}: {ms:.3f} ms/permanent (batch {batch}), '
               f'rel err vs f64 = {rel:.2e}')
+
+    # reference sweep shape: batch in {1, 10, 100, 1000} at fixed nmode
+    # (examples/benchmarks/benchmark_v420/permanent/permanent_deepquantum.py)
+    n = sweep_n
+    sweep = {}
+    for b in sweep_batches:
+        z = rng.standard_normal((b, n, n)) + 1j * rng.standard_normal((b, n, n))
+        q = np.linalg.qr(z)[0]
+        mats = to_device(q.astype(np.complex64))
+        ms = _scan_time(make_loop, mats, steps)
+        sweep[f'B{b}'] = dict(total_ms=ms, ms_per_permanent=ms / b)
+        print(f'permanent n={n} batch={b}: {ms:.3f} ms total, '
+              f'{ms / b:.4f} ms/permanent')
+    out[f'batch_sweep_n{n}'] = sweep
     return out
 
 
@@ -490,6 +506,25 @@ def _torontonian_host_f64(o: np.ndarray, with_amp: bool = False):
     return complex(total)
 
 
+def _loop_torontonian_host_f64(o: np.ndarray, gamma: np.ndarray) -> complex:
+    """Host complex128 loop (displaced) torontonian — same subset formula
+    as photonic/torontonian_.py::_tor_helper."""
+    import itertools as it
+    o = o.astype(np.complex128)
+    gamma = gamma.astype(np.complex128)
+    m = o.shape[-1] // 2
+    total = (-1.0) ** m + 0j
+    for r in range(1, m + 1):
+        for sub in it.combinations(range(m), r):
+            idx = np.sort(np.concatenate([np.array(sub), np.array(sub) + m]))
+            cov_q_inv = np.eye(2 * r) - o[np.ix_(idx, idx)]
+            g = gamma[idx]
+            e = g @ np.linalg.solve(cov_q_inv, np.conj(g)) / 2
+            total += ((-1.0) ** (m - r) * np.exp(e)
+                      / np.sqrt(np.linalg.det(cov_q_inv)))
+    return complex(total)
+
+
 def bench_torontonian(ns=(6, 8, 10), steps=5):
     import jax
     import jax.numpy as jnp
@@ -518,6 +553,27 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
         out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel, cancellation_amp=amp)
         print(f'torontonian 2n={2 * n}: {ms:.3f} ms, rel err vs f64 = '
               f'{rel:.2e} (instance cancellation amp {amp:.1e})')
+
+        # loop (displaced) variant — reference loop_torontonian benchmark dir
+        gam = (rng.standard_normal(2 * n) * 0.1).astype(np.complex128)
+        gam[n:] = np.conj(gam[:n])
+        gdev = to_device(gam.astype(np.complex64))
+        lval = complex(np.asarray(to_numpy(jax.jit(torontonian)(x, gdev))))
+        loracle = _loop_torontonian_host_f64(o, gam)
+        lrel = abs(lval - loracle) / abs(loracle)
+
+        def make_loop_l(k):
+            def loop(z):
+                def body(z, _):
+                    v = torontonian(z, gdev)
+                    return z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype), None
+                return jax.lax.scan(body, z, None, length=k)[0]
+            return loop
+
+        lms = _scan_time(make_loop_l, x, steps)
+        out[f'loop_n{n}'] = dict(ms=lms, rel_err_vs_f64=lrel)
+        print(f'loop torontonian 2n={2 * n}: {lms:.3f} ms, rel err vs f64 = '
+              f'{lrel:.2e}')
     return out
 
 
@@ -628,13 +684,14 @@ SECTIONS = {
     'gradient': ('gradient_ms', bench_gradient),
     'gradient_large': ('gradient_large_ms', bench_gradient_large),
     'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
-    'gradient_adjoint': ('gradient_adjoint_ms', bench_gradient_adjoint),
     'hessian': ('hessian_ms', bench_hessian),
     'roofline': ('gate_apply_roofline', bench_gate_apply_roofline),
     'permanent': ('permanent_ms', bench_permanent),
     'hafnian': ('hafnian_ms', bench_hafnian),
     'torontonian': ('torontonian_ms', bench_torontonian),
     'mbqc': ('mbqc_ms', bench_mbqc),
+    # last: the pre-sharding adjoint once hard-crashed the worker at n > 14
+    'gradient_adjoint': ('gradient_adjoint_ms', bench_gradient_adjoint),
 }
 REF_SECTIONS = {
     'gradient': ('gradient_ref_ms', bench_reference_gradient),
