@@ -534,7 +534,13 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
     out = {}
     for n in ns:
         m = rng.standard_normal((2 * n, 2 * n)) * 0.1
-        o = np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
+        # quantize to c64 FIRST and feed the oracle the quantized matrix
+        # (same convention as bench_hafnian): the row measures COMPUTATION
+        # error; input rounding is the caller's data precision, and the
+        # inclusion-exclusion amplification (recorded) would otherwise
+        # swamp the row with it.
+        o = (np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
+             ).astype(np.complex64).astype(np.complex128)
         x = to_device(o.astype(np.complex64))
         val = complex(np.asarray(to_numpy(jax.jit(torontonian)(x))))
         oracle, amp = _torontonian_host_f64(o, with_amp=True)
@@ -555,7 +561,7 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
               f'{rel:.2e} (instance cancellation amp {amp:.1e})')
 
         # loop (displaced) variant — reference loop_torontonian benchmark dir
-        gam = (rng.standard_normal(2 * n) * 0.1).astype(np.complex128)
+        gam = (rng.standard_normal(2 * n) * 0.1).astype(np.complex64).astype(np.complex128)
         gam[n:] = np.conj(gam[:n])
         gdev = to_device(gam.astype(np.complex64))
         lval = complex(np.asarray(to_numpy(jax.jit(torontonian)(x, gdev))))

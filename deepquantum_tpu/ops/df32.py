@@ -79,7 +79,9 @@ def _df_cmul(pr, pi, cr, ci):
 
 __all__ = [
     'const_split', 'df_add', 'df_mul', 'df_div', 'df_sqrt',
+    'df_exp', 'df_sincos',
     'cdf_lift', 'cdf_add', 'cdf_neg', 'cdf_mul', 'cdf_div', 'cdf_sqrt',
+    'cdf_exp',
     'cdf_scale_int', 'cdf_scale_const', 'cdf_reduce0', 'cdf_sum_axis',
     'cdf_matmul', 'cdf_trace', 'cdf_to_complex',
 ]
@@ -114,6 +116,89 @@ def df_sqrt(ah, al):
     rh, rl = _df_add(ah, al, -p, -e)
     corr = jnp.where(s0 > 0, (rh + rl) / (2 * safe), jnp.float32(0))
     return _fast_two_sum(s0, corr)
+
+
+# -------------------------------------------------------- transcendentals
+def _df_horner(uh, ul, coeffs):
+    """Polynomial sum c_j u^j in df32 (coeffs: python doubles, highest first)."""
+    ah, al = const_split(coeffs[0])
+    ah = jnp.broadcast_to(ah, uh.shape)
+    al = jnp.broadcast_to(al, uh.shape)
+    for c in coeffs[1:]:
+        ch, cl = const_split(c)
+        ah, al = _df_mul(ah, al, uh, ul)
+        ah, al = _df_add(ah, al, ch, cl)
+    return ah, al
+
+
+def _df_reduce_const(ah, al, k, c: float):
+    """a - k * c with c a split double and k integer-valued f32: both
+    products are exact two-prods, so the reduction keeps ~2^-48 even when
+    k * c_hi is not representable."""
+    ch, cl = const_split(c)
+    p1, e1 = _two_prod(k, ch)
+    p2, e2 = _two_prod(k, cl)
+    th, tl = _df_add(ah, al, -p1, -e1)
+    return _df_add(th, tl, -p2, -e2)
+
+
+import math as _math
+
+_LN2 = float(np.log(np.float64(2.0)))
+_HALFPI = float(np.pi / 2)
+_EXP_COEFFS = [1.0 / _math.factorial(j) for j in range(13, -1, -1)]
+_SIN_COEFFS = [(-1.0) ** j / _math.factorial(2 * j + 1)
+               for j in range(7, -1, -1)]
+_COS_COEFFS = [(-1.0) ** j / _math.factorial(2 * j)
+               for j in range(8, -1, -1)]
+
+
+def df_exp(ah, al):
+    """df32 real exponential: round-to-nearest power-of-two reduction
+    a = k ln2 + t (|t| <= ln2/2, exact two-prod reduction), degree-13
+    Taylor in df32 Horner form, exact 2^k rescale. ~1e-14 relative."""
+    k = jnp.round((ah + al) * np.float32(1.0 / _LN2))
+    th, tl = _df_reduce_const(ah, al, k, _LN2)
+    eh, el = _df_horner(th, tl, _EXP_COEFFS)
+    # 2^k must be EXACT — jnp.exp2 is a polynomial approximation (~2^-20
+    # rel err, measured 1.1e-6 at a=23.7), so build the power of two from
+    # the exponent bits. k outside [-127, 128] flushes to 0 / inf like f32.
+    ki = jnp.clip(k.astype(jnp.int32), -127, 128)
+    scale = jax.lax.bitcast_convert_type(
+        ((ki + 127) << 23).astype(jnp.int32), jnp.float32)
+    return eh * scale, el * scale
+
+
+def df_sincos(ah, al):
+    """df32 (sin, cos): quadrant reduction a = k pi/2 + t (|t| <= pi/4),
+    Taylor in u = t^2, branch-free quadrant selection. Returns
+    ((sin_hi, sin_lo), (cos_hi, cos_lo))."""
+    k = jnp.round((ah + al) * np.float32(1.0 / _HALFPI))
+    th, tl = _df_reduce_const(ah, al, k, _HALFPI)
+    uh, ul = _df_mul(th, tl, th, tl)
+    ph, pl = _df_horner(uh, ul, _SIN_COEFFS)
+    sh, sl = _df_mul(th, tl, ph, pl)         # sin(t) = t * P(t^2)
+    ch, cl = _df_horner(uh, ul, _COS_COEFFS)
+    q = k - 4.0 * jnp.floor(k * 0.25)        # k mod 4, integer-valued f32
+
+    def pick(q0, q1, q2, q3):
+        return (jnp.where(q == 0, q0[0], jnp.where(q == 1, q1[0],
+                jnp.where(q == 2, q2[0], q3[0]))),
+                jnp.where(q == 0, q0[1], jnp.where(q == 1, q1[1],
+                jnp.where(q == 2, q2[1], q3[1]))))
+
+    s = (sh, sl)
+    c = (ch, cl)
+    ns = (-sh, -sl)
+    nc = (-ch, -cl)
+    return pick(s, c, ns, nc), pick(c, ns, nc, s)
+
+
+def cdf_exp(z):
+    """Complex df32 exponential exp(x + iy) = e^x (cos y + i sin y)."""
+    m = df_exp(*z[0])
+    s, c = df_sincos(*z[1])
+    return (_df_mul(*m, *c), _df_mul(*m, *s))
 
 
 # ------------------------------------------------------------------ complex

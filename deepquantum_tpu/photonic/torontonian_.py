@@ -6,16 +6,17 @@ powerset grouped by size on host, det+solve vmapped per group on device.
 The inclusion-exclusion sum over 2^m subsets cancels catastrophically: on
 the benchmark covariances the final value is ~1e5-1e7x smaller than the
 individual 1/sqrt(det) terms, so plain complex64 loses everything (measured
-rel err 0.75 at 2n=12). Under the complex64 policy the click-probability
-path (gamma=None) therefore computes every determinant with a df32 LDL^T
-factorization (ops/df32.py, ~2^-48 per op) over identity-padded subsets —
-one vmapped fixed-shape body for the whole powerset — and reduces the
-alternating sum in df32 as well. The reference leans on torch float64 for
-the same reason; TPUs have no f64, df32 is the native answer.
-
-The displaced variant (gamma given) additionally needs exp() of a solve,
-whose f32 evaluation already costs 2^-24 relative per term, so it stays on
-the plain path at complex64 (documented accuracy limit).
+rel err 0.75 at 2n=12). Under the complex64 policy BOTH paths therefore run
+fully in df32 (ops/df32.py, ~2^-48 per op): every determinant through a
+pivot-free LDL^T over identity-padded subsets — one vmapped fixed-shape body
+for the whole powerset — with I - O_Z formed by an exact two_sum (a plain
+f32 subtraction rounds the diagonal at 2^-24, which was the measured
+accuracy floor of the whole function), and the alternating sum reduced in
+df32. The displaced (loop) variant forward-eliminates gamma_Z as augmented
+rhs columns of the same LDL pass (w = L^{-1} b, quadratic form w^T D^{-1} w)
+and exponentiates with the df32 cdf_exp, holding ~1e-8 where plain c64
+returned 3e-3. The reference leans on torch float64 for the same cancellation
+reason; TPUs have no f64, df32 is the native answer.
 """
 
 from __future__ import annotations
@@ -28,14 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import cdtype
+from ..ops.pallas_kernels import _two_sum
 from ..ops.df32 import (
     cdf_add,
     cdf_div,
+    cdf_exp,
     cdf_lift,
     cdf_mul,
     cdf_neg,
     cdf_reduce0,
+    cdf_scale_const,
     cdf_sqrt,
+    cdf_sum_axis,
     cdf_to_complex,
 )
 from .hafnian_ import subset_index_groups
@@ -88,35 +93,50 @@ def _padded_tor_indices(m: int):
     return idx, valid, sign
 
 
-def _cdf_ldl_det(a_re, a_im):
+def _cdf_ldl_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
     """Determinants of a batch of complex symmetric matrices (S, p, p) via
     pivot-free LDL^T in df32. Physical cov_q_inv matrices are complex
     symmetric with spectra bounded away from zero (Q is positive definite),
     so pivoting is unnecessary; a singular input yields inf/nan exactly as
-    the reference's det would."""
-    p = a_re.shape[-1]
+    the reference's det would.
+
+    With ``nrhs`` > 0 the input is augmented (S, p, p + nrhs) and the rhs
+    columns are forward-eliminated alongside (w = L^{-1} b, the row
+    operations of the same scan), so quadratic forms b1^T A^{-1} b2 =
+    sum_j w1_j w2_j / d_j come out of ONE factorization pass — used by the
+    displaced (loop) torontonian. Returns (det, w, ds) in that case.
+
+    ``a_re_lo``: optional low plane of the real part. The diagonal of
+    I - O_Z rounds at 2^-24 when formed in plain f32 (1 - x is only exact
+    for x in [0.5, 2]), which was the measured accuracy floor of the whole
+    torontonian — callers two_sum the subtraction and pass the residual."""
+    p = a_re.shape[-1] - nrhs
     a = cdf_lift(a_re, a_im)
-    iota = jnp.arange(p, dtype=jnp.float32)
+    if a_re_lo is not None:
+        a = ((a[0][0], a_re_lo), a[1])
+    iota_r = jnp.arange(p, dtype=jnp.float32)
+    iota_c = jnp.arange(p + nrhs, dtype=jnp.float32)
 
     def step(a, j):
         row = tuple(tuple(
             jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-2) for x in comp)
-            for comp in a)                                   # (S, 1, p)
+            for comp in a)                                   # (S, 1, p+nrhs)
         d = tuple(tuple(
             jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-1) for x in comp)
             for comp in row)                                 # (S, 1, 1)
-        mult = cdf_div(row, d)                               # (S, 1, p)
-        mult_t = tuple(tuple(jnp.swapaxes(x, -1, -2) for x in comp)
-                       for comp in mult)                     # (S, p, 1)
-        outer = cdf_mul(mult_t, row)                         # (S, p, p)
-        g = (iota > j).astype(jnp.float32)
-        gate = g[:, None] * g[None, :]
+        mult = cdf_div(row, d)                               # (S, 1, p+nrhs)
+        mult_mat = tuple(tuple(jnp.swapaxes(x[..., :p], -1, -2)
+                               for x in comp) for comp in mult)  # (S, p, 1)
+        outer = cdf_mul(mult_mat, row)                       # (S, p, p+nrhs)
+        gr = (iota_r > j).astype(jnp.float32)
+        gc = jnp.logical_or(iota_c > j, iota_c >= p).astype(jnp.float32)
+        gate = gr[:, None] * gc[None, :]
         sub = tuple(tuple(x * gate for x in comp) for comp in outer)
         a = cdf_add(a, cdf_neg(sub))
         dj = tuple(tuple(x[..., 0, 0] for x in comp) for comp in d)
         return a, dj
 
-    _, ds = jax.lax.scan(step, a, jnp.arange(p))
+    a_fin, ds = jax.lax.scan(step, a, jnp.arange(p))
 
     one = jnp.ones(a_re.shape[0], jnp.float32)
     det0 = cdf_lift(one, jnp.zeros_like(one))
@@ -125,7 +145,10 @@ def _cdf_ldl_det(a_re, a_im):
         return cdf_mul(acc, dj), None
 
     det, _ = jax.lax.scan(mul_step, det0, ds)
-    return det
+    if nrhs == 0:
+        return det
+    w = tuple(tuple(x[..., :, p:] for x in comp) for comp in a_fin)
+    return det, w, ds
 
 
 @jax.custom_jvp
@@ -138,9 +161,10 @@ def _torontonian_df32(o_mat):
     idx, valid, sign = _padded_tor_indices(m)
     mask2 = valid * np.swapaxes(valid, -1, -2)               # (S, p, p)
     eye = np.eye(2 * m, dtype=np.float32)
-    a_re = eye - re[idx[:, :, None], idx[:, None, :]] * mask2
+    sub_re = re[idx[:, :, None], idx[:, None, :]] * mask2
+    a_re, a_re_lo = _two_sum(eye, -sub_re)       # exact I - O_Z (see helper)
     a_im = -im[idx[:, :, None], idx[:, None, :]] * mask2
-    det = _cdf_ldl_det(a_re, a_im)
+    det = _cdf_ldl_det(a_re, a_im, a_re_lo=a_re_lo)
     ones = jnp.ones(det[0][0].shape, jnp.float32)
     inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
     signed = tuple(tuple(x * sign for x in comp) for comp in inv_sqrt)
@@ -162,15 +186,69 @@ def _torontonian_df32_jvp(primals, tangents):
     return primal, tangent.astype(primal.dtype)
 
 
+@jax.custom_jvp
+def _torontonian_loop_df32(o_mat, gamma):
+    """df32 displaced (loop) torontonian: one augmented LDL^T pass per
+    subset gives det AND the quadratic form gamma_Z^T (I-O_Z)^{-1}
+    conj(gamma_Z) (forward-eliminated rhs columns, w^T D^{-1} w), then
+    exp in df32 (ops/df32.py::cdf_exp) so the inclusion-exclusion
+    cancellation (~1e4-1e7x) doesn't eat the c64 result."""
+    size = o_mat.shape[-1]
+    m = size // 2
+    re = jnp.real(o_mat).astype(jnp.float32)
+    im = jnp.imag(o_mat).astype(jnp.float32)
+    gre = jnp.real(gamma).astype(jnp.float32)
+    gim = jnp.imag(gamma).astype(jnp.float32)
+    idx, valid, sign = _padded_tor_indices(m)
+    mask2 = valid * np.swapaxes(valid, -1, -2)
+    eye = np.eye(2 * m, dtype=np.float32)
+    sub_re = re[idx[:, :, None], idx[:, None, :]] * mask2
+    a_re, a_re_lo = _two_sum(eye, -sub_re)       # exact I - O_Z (see helper)
+    a_im = -im[idx[:, :, None], idx[:, None, :]] * mask2
+    v = valid[..., 0]
+    g_re = gre[idx] * v
+    g_im = gim[idx] * v
+    zcol = jnp.zeros_like(g_re)[..., None]
+    aug_re = jnp.concatenate([a_re, g_re[..., None], g_re[..., None]], -1)
+    aug_lo = jnp.concatenate([a_re_lo, zcol, zcol], -1)
+    aug_im = jnp.concatenate([a_im, g_im[..., None], -g_im[..., None]], -1)
+    det, w, ds = _cdf_ldl_det(aug_re, aug_im, nrhs=2, a_re_lo=aug_lo)
+    w1 = tuple(tuple(x[..., 0] for x in comp) for comp in w)     # (S, p)
+    w2 = tuple(tuple(x[..., 1] for x in comp) for comp in w)
+    dsm = tuple(tuple(jnp.moveaxis(x, 0, -1) for x in comp) for comp in ds)
+    e = cdf_sum_axis(cdf_div(cdf_mul(w1, w2), dsm), -1)
+    expe = cdf_exp(cdf_scale_const(e, 0.5))
+    ones = jnp.ones(det[0][0].shape, jnp.float32)
+    inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
+    term = cdf_mul(expe, inv_sqrt)
+    signed = tuple(tuple(x * sign for x in comp) for comp in term)
+    total = cdf_reduce0(signed)
+    lead = float((-1) ** m)
+    total = cdf_add(total, cdf_lift(jnp.float32(lead), jnp.float32(0)))
+    return cdf_to_complex(total)
+
+
+@_torontonian_loop_df32.defjvp
+def _torontonian_loop_df32_jvp(primals, tangents):
+    # same policy as the click path: df32 primal, plain-f32 tangent
+    (o_mat, gamma), (dm, dg) = primals, tangents
+    primal = _torontonian_loop_df32(o_mat, gamma)
+    _, tangent = jax.jvp(_torontonian_plain, (o_mat, gamma), (dm, dg))
+    return primal, tangent.astype(primal.dtype)
+
+
 def torontonian(o_mat, gamma=None) -> jnp.ndarray:
     """Torontonian of a 2m x 2m matrix (reference torontonian_.py:27).
 
-    Under the complex64 policy the gamma=None (threshold click
-    probability) case runs fully in df32 — see the module header."""
+    Under the complex64 policy both the gamma=None (threshold click
+    probability) case and the displaced (loop) case run fully in df32 —
+    see the module header."""
     o_mat = jnp.asarray(o_mat, dtype=cdtype())
     size = o_mat.shape[-1]
-    if gamma is None and o_mat.dtype == jnp.complex64 and size >= 6:
-        return _torontonian_df32(o_mat)
+    if o_mat.dtype == jnp.complex64 and size >= 6:
+        if gamma is None:
+            return _torontonian_df32(o_mat)
+        return _torontonian_loop_df32(o_mat, jnp.asarray(gamma, o_mat.dtype))
     if gamma is None:
         gamma = jnp.zeros(size, dtype=o_mat.dtype)
     else:
