@@ -32,17 +32,27 @@ __all__ = [
 def int_to_bitstring(number: int, nbit: int, debug: bool = False) -> str:
     """Integer -> bit string of length nbit (reference qmath.py helper)."""
     assert isinstance(number, int)
-    bits = bin(number)[2:]
-    if len(bits) > nbit:
-        if debug:
-            print(f'The number {number} exceeds {nbit} bits and is truncated.')
-        bits = bits[-nbit:]
-    return bits.zfill(nbit)
+    bits = format(number, 'b')
+    if len(bits) <= nbit:
+        return bits.zfill(nbit)
+    if debug:
+        print(f'The number {number} exceeds {nbit} bits and is truncated.')
+    return bits[-nbit:]
 
 
 def is_unitary(u, atol: float = 1e-4) -> bool:
     u = np.asarray(u)
-    return np.allclose(u @ u.conj().T, np.eye(u.shape[-1]), atol=atol)
+    gram = u @ u.conj().T
+    return bool(np.allclose(gram, np.eye(u.shape[-1]), atol=atol))
+
+
+def _aslist(v) -> list:
+    """None -> [], int -> [int], iterable -> list."""
+    if v is None:
+        return []
+    if isinstance(v, int):
+        return [v]
+    return list(v)
 
 
 def make_gate(name: str, inputs=None, requires_grad: bool = True) -> GateOp:
@@ -61,19 +71,15 @@ class Ansatz(QubitCircuit):
         super().__init__(nqubit=nqubit, init_state=init_state, name=name, den_mat=den_mat,
                          reupload=reupload, mps=mps, chi=chi)
         if wires is None:
-            if minmax is None:
-                minmax = [0, nqubit - 1]
-            wires = list(range(minmax[0], minmax[1] + 1))
-        if isinstance(wires, int):
-            wires = [wires]
-        ancilla = [] if ancilla is None else ([ancilla] if isinstance(ancilla, int) else list(ancilla))
-        controls = [] if controls is None else ([controls] if isinstance(controls, int) else list(controls))
-        for wire in wires:
-            assert wire not in ancilla and wire not in controls, 'wires must not overlap ancilla or controls'
-        self.wires = sorted(wires)
-        self.minmax = [min(wires), max(wires)]
-        self.ancilla = ancilla
-        self.controls = controls
+            lo, hi = (0, nqubit - 1) if minmax is None else minmax
+            wires = list(range(lo, hi + 1))
+        self.wires = sorted(_aslist(wires))
+        self.ancilla = _aslist(ancilla)
+        self.controls = _aslist(controls)
+        self.minmax = [self.wires[0], self.wires[-1]]
+        reserved = set(self.ancilla) | set(self.controls)
+        overlap = reserved.intersection(self.wires)
+        assert not overlap, f'ancilla/control wires {sorted(overlap)} collide with data wires'
 
 
 class QuantumFourierTransform(Ansatz):
@@ -84,20 +90,21 @@ class QuantumFourierTransform(Ansatz):
         super().__init__(nqubit=nqubit, minmax=minmax, init_state=init_state,
                          name='QuantumFourierTransform', den_mat=den_mat, mps=mps, chi=chi)
         self.reverse = reverse
-        for i in self.wires:
-            self.qft_block(i)
+        for w in self.wires:
+            self.qft_block(w)
             if show_barrier:
                 self.barrier(self.wires)
         if not reverse:
-            for i in range(len(self.wires) // 2):
-                self.swap([self.wires[i], self.wires[-1 - i]])
+            half = self.wires[:len(self.wires) // 2]
+            for a, b in zip(half, reversed(self.wires)):
+                self.swap([a, b])
 
     def qft_block(self, n: int) -> None:
+        """H on wire n, then controlled phases pi/2, pi/4, ... from the
+        wires below it."""
         self.h(n)
-        k = 2
-        for i in range(n, self.minmax[1]):
-            self.cp(i + 1, n, np.pi / 2 ** (k - 1))
-            k += 1
+        for dist in range(1, self.minmax[1] - n + 1):
+            self.cp(n + dist, n, np.pi / 2 ** dist)
 
 
 class QuantumPhaseEstimation(Ansatz):
@@ -114,14 +121,16 @@ class QuantumPhaseEstimation(Ansatz):
         self.unitary = unitary
         super().__init__(nqubit=nqubit, minmax=minmax, name='QuantumPhaseEstimation',
                          den_mat=den_mat, mps=mps, chi=chi)
-        count_wires = list(range(minmax[0], minmax[0] + ncount))
-        target_wires = list(range(minmax[0] + ncount, minmax[1] + 1))
+        count_wires = self.wires[:ncount]
+        target_wires = self.wires[ncount:]
         self.hlayer(count_wires)
         if show_barrier:
             self.barrier()
-        for i, wire in enumerate(count_wires):
-            u = np.linalg.matrix_power(self.unitary, 2 ** (ncount - 1 - i))
-            self.any(unitary=u, wires=target_wires, controls=wire)
+        # walk LSB -> MSB so each controlled power is one squaring away
+        power = unitary
+        for wire in reversed(count_wires):
+            self.any(unitary=power, wires=target_wires, controls=wire)
+            power = power @ power
         if show_barrier:
             self.barrier()
         iqft = QuantumFourierTransform(nqubit=nqubit, minmax=[count_wires[0], count_wires[-1]],
@@ -152,28 +161,30 @@ class HHL(Ansatz):
     def __init__(self, ncount: int, mat, t0: float = 1, den_mat=False, mps=False,
                  chi=None, show_barrier: bool = False) -> None:
         mat = np.asarray(mat, dtype=np.complex128)
-        t0 = t0 * 2 * np.pi
         from scipy.linalg import expm
-        unitary = expm(1j * mat * t0 / 2 ** ncount)
+        unitary = expm(1j * mat * (t0 * 2 * np.pi) / 2 ** ncount)
         assert is_unitary(unitary)
         n_target = int(np.log2(len(unitary)))
         nqubit = 1 + ncount + n_target
         self.unitary = unitary
         super().__init__(nqubit=nqubit, name='HHL', den_mat=den_mat, mps=mps, chi=chi)
+        creg = list(range(1, ncount + 1))          # counting register
         qpe = QuantumPhaseEstimation(nqubit=nqubit, ncount=ncount, unitary=unitary,
                                      minmax=[1, nqubit - 1], den_mat=den_mat, mps=mps,
                                      chi=chi, show_barrier=show_barrier)
         self.add(qpe)
         if show_barrier:
             self.barrier()
+        # eigenvalue-inversion rotation on the ancilla, one multi-controlled
+        # RY per counting-register value: X-sandwich the zero bits so the
+        # all-ones control fires exactly on |i>. Bit j of i (LSB first)
+        # corresponds to counting wire 1 + j.
         for i in range(2 ** ncount):
-            bits = format(i, '0' + str(ncount) + 'b')
-            flips = [1 + j for j in range(ncount) if bits[ncount - j - 1] == '0']
-            for w in flips:
+            zero_bits = [creg[j] for j in range(ncount) if not (i >> j) & 1]
+            for w in zero_bits:
                 self.x(w)
-            theta = 2 * np.pi * i / 2 ** ncount
-            self.ry(0, inputs=theta, controls=list(range(1, ncount + 1)))
-            for w in flips:
+            self.ry(0, inputs=2 * np.pi * i / 2 ** ncount, controls=creg)
+            for w in zero_bits:
                 self.x(w)
             if show_barrier:
                 self.barrier()
@@ -189,9 +200,9 @@ class NumberEncoder(Ansatz):
                  mps=False, chi=None) -> None:
         super().__init__(nqubit=nqubit, minmax=minmax, name='NumberEncoder',
                          den_mat=den_mat, mps=mps, chi=chi)
-        bits = int_to_bitstring(number, len(self.wires))
-        for i, wire in enumerate(self.wires):
-            if bits[i] == '1':
+        pattern = int_to_bitstring(number, len(self.wires))
+        for wire, bit in zip(self.wires, pattern):
+            if bit == '1':
                 self.x(wire)
 
 
@@ -203,13 +214,13 @@ class PhiAdder(Ansatz):
         super().__init__(nqubit=nqubit, minmax=minmax, controls=controls, name='PhiAdder',
                          den_mat=den_mat, mps=mps, chi=chi)
         bits = int_to_bitstring(number, len(self.wires), debug=debug)
+        ctrl = self.controls or None
         for i, wire in enumerate(self.wires):
-            phi = 0.0
-            for k, j in enumerate(range(i, len(bits))):
-                if bits[j] == '1':
-                    phi += np.pi / 2 ** k
-            if phi != 0:
-                self.p(wires=wire, inputs=phi, controls=self.controls if self.controls else None)
+            # accumulated Fourier-basis phase from bit i downward
+            phi = sum(np.pi / 2 ** k
+                      for k, bit in enumerate(bits[i:]) if bit == '1')
+            if phi:
+                self.p(wires=wire, inputs=phi, controls=ctrl)
 
 
 class PhiModularAdder(Ansatz):
@@ -226,26 +237,30 @@ class PhiModularAdder(Ansatz):
         if debug and number >= 2 * mod:
             print(f'The number {number} in {self.name} is too large.')
         kw = dict(den_mat=den_mat, mps=mps, chi=chi, debug=debug)
-        phi_add_number = PhiAdder(nqubit, number, self.minmax, self.controls, **kw)
-        phi_sub_number = phi_add_number.inverse()
-        phi_add_mod = PhiAdder(nqubit, mod, self.minmax, self.ancilla, **kw)
-        phi_sub_mod = PhiAdder(nqubit, mod, self.minmax, None, **kw).inverse()
+
+        def adder(value, ctrl):
+            return PhiAdder(nqubit, value, self.minmax, ctrl, **kw)
+
+        add_n = adder(number, self.controls)
         qft = QuantumFourierTransform(nqubit=nqubit, minmax=self.minmax, reverse=True,
                                       den_mat=den_mat, mps=mps, chi=chi)
         iqft = qft.inverse()
-        self.add(phi_add_number)
-        self.add(phi_sub_mod)
+        sign_wire, flag = self.minmax[0], self.ancilla[0]
+        # Beauregard Fig.5: add a, subtract N, detect the sign on the flag
+        # ancilla, conditionally re-add N, then uncompute the flag.
+        self.add(add_n)
+        self.add(adder(mod, None).inverse())
         self.add(iqft)
-        self.cnot(self.minmax[0], self.ancilla[0])
+        self.cnot(sign_wire, flag)
         self.add(qft)
-        self.add(phi_add_mod)
-        self.add(phi_sub_number)
+        self.add(adder(mod, self.ancilla))
+        self.add(add_n.inverse())
         self.add(iqft)
-        self.x(self.minmax[0])
-        self.cnot(self.minmax[0], self.ancilla[0])
-        self.x(self.minmax[0])
+        self.x(sign_wire)
+        self.cnot(sign_wire, flag)
+        self.x(sign_wire)
         self.add(qft)
-        self.add(phi_add_number)
+        self.add(add_n)
 
 
 class ControlledMultiplier(Ansatz):
@@ -258,27 +273,28 @@ class ControlledMultiplier(Ansatz):
         if minmax is None:
             minmax = [0, nqubit - 2]
         if nqubitx is None:
-            nqubitx = len(bin(mod)) - 2
+            nqubitx = mod.bit_length()
         if ancilla is None:
             ancilla = [minmax[1] + 1]
         super().__init__(nqubit=nqubit, minmax=minmax, ancilla=ancilla, controls=controls,
                          name='ControlledMultiplier', den_mat=den_mat, mps=mps, chi=chi)
-        assert len(self.wires) >= nqubitx + len(bin(mod)) - 1, 'Quantum register is not enough.'
-        minmax1 = [self.minmax[0], self.minmax[0] + nqubitx - 1]
-        minmax2 = [minmax1[1] + 1, minmax[1]]
-        qft = QuantumFourierTransform(nqubit=nqubit, minmax=minmax2, reverse=True,
+        assert len(self.wires) >= nqubitx + mod.bit_length() + 1, \
+            'quantum register too small for x and the b accumulator'
+        x_span = [self.minmax[0], self.minmax[0] + nqubitx - 1]
+        b_span = [x_span[1] + 1, minmax[1]]
+        qft = QuantumFourierTransform(nqubit=nqubit, minmax=b_span, reverse=True,
                                       den_mat=den_mat, mps=mps, chi=chi)
-        iqft = qft.inverse()
         self.add(qft)
-        for k, i in enumerate(range(minmax1[1], minmax1[0] - 1, -1)):
+        # b += (2^k a) x_bit for each bit of x, LSB = bottom wire of x_span
+        for k, xw in enumerate(range(x_span[1], x_span[0] - 1, -1)):
             if debug and 2 ** k * a >= 2 * mod:
                 print(f'The number 2^{k}*{a} in {self.name} may be too large, '
-                      f'unless the control qubit {i} is 0.')
-            pma = PhiModularAdder(nqubit=nqubit, number=2 ** k * a, mod=mod, minmax=minmax2,
-                                  ancilla=self.ancilla, controls=self.controls + [i],
-                                  den_mat=den_mat, mps=mps, chi=chi, debug=debug)
-            self.add(pma)
-        self.add(iqft)
+                      f'unless the control qubit {xw} is 0.')
+            self.add(PhiModularAdder(nqubit=nqubit, number=2 ** k * a, mod=mod,
+                                     minmax=b_span, ancilla=self.ancilla,
+                                     controls=self.controls + [xw],
+                                     den_mat=den_mat, mps=mps, chi=chi, debug=debug))
+        self.add(qft.inverse())
 
 
 class ControlledUa(Ansatz):
@@ -286,32 +302,29 @@ class ControlledUa(Ansatz):
 
     def __init__(self, nqubit: int, a: int, mod: int, minmax=None, ancilla=None,
                  controls=None, den_mat=False, mps=False, chi=None, debug: bool = False) -> None:
-        nregister = len(bin(mod)) - 2
-        nancilla = len(bin(mod))
+        nregister = mod.bit_length()
+        nancilla = nregister + 2
         if minmax is None:
             minmax = [0, nregister - 1]
         if ancilla is None:
             ancilla = list(range(minmax[1] + 1, minmax[1] + 1 + nancilla))
         super().__init__(nqubit=nqubit, minmax=minmax, ancilla=ancilla, controls=controls,
                          name='ControlledUa', den_mat=den_mat, mps=mps, chi=chi)
-        assert len(self.wires) == nregister
-        assert len(self.ancilla) == nancilla
-        cmult = ControlledMultiplier(nqubit=nqubit, a=a, mod=mod,
-                                     minmax=[self.minmax[0], self.ancilla[-2]],
-                                     nqubitx=nregister, ancilla=self.ancilla[-1],
-                                     controls=self.controls, den_mat=den_mat, mps=mps,
-                                     chi=chi, debug=debug)
-        self.add(cmult)
-        for i in range(len(self.wires)):
-            self.swap([self.wires[i], self.ancilla[i + 1]],
-                      controls=self.controls if self.controls else None)
-        a_inv = pow(a, -1, mod)
-        cmult_inv = ControlledMultiplier(nqubit=nqubit, a=a_inv, mod=mod,
-                                         minmax=[self.minmax[0], self.ancilla[-2]],
-                                         nqubitx=nregister, ancilla=self.ancilla[-1],
-                                         controls=self.controls, den_mat=den_mat, mps=mps,
-                                         chi=chi, debug=debug).inverse()
-        self.add(cmult_inv)
+        assert len(self.wires) == nregister and len(self.ancilla) == nancilla
+
+        def multiplier(mult_by):
+            return ControlledMultiplier(nqubit=nqubit, a=mult_by, mod=mod,
+                                        minmax=[self.minmax[0], self.ancilla[-2]],
+                                        nqubitx=nregister, ancilla=self.ancilla[-1],
+                                        controls=self.controls, den_mat=den_mat,
+                                        mps=mps, chi=chi, debug=debug)
+
+        # |x, 0> -> |x, ax mod N> -> (swap) |ax mod N, x> -> uncompute x
+        self.add(multiplier(a))
+        ctrl = self.controls or None
+        for data, anc in zip(self.wires, self.ancilla[1:]):
+            self.swap([data, anc], controls=ctrl)
+        self.add(multiplier(pow(a, -1, mod)).inverse())
 
 
 class QuantumConvolutionalNeuralNetwork(Ansatz):
@@ -324,11 +337,11 @@ class QuantumConvolutionalNeuralNetwork(Ansatz):
                          mps=mps, chi=chi)
         wires = self.wires
         self.requires_grad = requires_grad
-        u1 = make_gate('U3Gate', requires_grad=requires_grad)
-        u2 = make_gate('U3Gate', requires_grad=requires_grad)
-        for i, wire in enumerate(wires[1::2]):
-            self.add(u1, wires=wires[2 * i])
-            self.add(u2, wires=wire)
+        u_top = make_gate('U3Gate', requires_grad=requires_grad)
+        u_bot = make_gate('U3Gate', requires_grad=requires_grad)
+        for top, bot in zip(wires[::2], wires[1::2]):
+            self.add(u_top, wires=top)
+            self.add(u_bot, wires=bot)
         for _ in range(nlayer):
             self.conv(wires)
             self.pool(wires)
@@ -336,23 +349,21 @@ class QuantumConvolutionalNeuralNetwork(Ansatz):
         self.latent(wires=wires)
 
     def conv(self, wires):
-        rxx = make_gate('Rxx', requires_grad=self.requires_grad)
-        ryy = make_gate('Ryy', requires_grad=self.requires_grad)
-        rzz = make_gate('Rzz', requires_grad=self.requires_grad)
-        u1 = make_gate('U3Gate', requires_grad=self.requires_grad)
-        u2 = make_gate('U3Gate', requires_grad=self.requires_grad)
-        for start in (1, 2):
-            for i, wire in enumerate(wires[start::2]):
-                self.add(rxx, wires=[wires[2 * i + start - 1], wire])
-                self.add(ryy, wires=[wires[2 * i + start - 1], wire])
-                self.add(rzz, wires=[wires[2 * i + start - 1], wire])
-                self.add(u1, wires=wires[2 * i + start - 1])
-                self.add(u2, wires=wire)
+        two_q = [make_gate(g, requires_grad=self.requires_grad)
+                 for g in ('Rxx', 'Ryy', 'Rzz')]
+        u_top = make_gate('U3Gate', requires_grad=self.requires_grad)
+        u_bot = make_gate('U3Gate', requires_grad=self.requires_grad)
+        for offset in (0, 1):           # even pairs, then odd (brick pattern)
+            for top, bot in zip(wires[offset::2], wires[offset + 1::2]):
+                for g in two_q:
+                    self.add(g, wires=[top, bot])
+                self.add(u_top, wires=top)
+                self.add(u_bot, wires=bot)
 
     def pool(self, wires):
         cu = make_gate('U3Gate', requires_grad=self.requires_grad)
-        for i, wire in enumerate(wires[1::2]):
-            self.add(cu, wires=wires[2 * i], controls=wire)
+        for kept, measured in zip(wires[::2], wires[1::2]):
+            self.add(cu, wires=kept, controls=measured)
 
 
 class RandomCircuitG3(Ansatz):
@@ -364,15 +375,13 @@ class RandomCircuitG3(Ansatz):
                          name='RandomCircuitG3', den_mat=den_mat, mps=mps, chi=chi)
         self.ngate = ngate
         self.gate_set = ['CNOT', 'H', 'T']
+        emit = {
+            'CNOT': lambda: self.cnot(*random.sample(self.wires, 2)),
+            'H': lambda: self.h(random.choice(self.wires)),
+            'T': lambda: self.t(random.choice(self.wires)),
+        }
         for _ in range(ngate):
-            gate = random.sample(self.gate_set, 1)[0]
-            wire = random.sample(self.wires, 2) if gate == 'CNOT' else random.sample(self.wires, 1)
-            if gate == 'CNOT':
-                self.cnot(wire[0], wire[1])
-            elif gate == 'H':
-                self.h(wire[0])
-            elif gate == 'T':
-                self.t(wire[0])
+            emit[random.choice(self.gate_set)]()
 
 
 class ShorCircuit(Ansatz):
@@ -380,24 +389,23 @@ class ShorCircuit(Ansatz):
 
     def __init__(self, mod: int, ncount: int, a: int, den_mat=False, mps=False,
                  chi=None, debug: bool = False) -> None:
-        nreg = len(bin(mod)) - 2
+        nreg = mod.bit_length()
         nqubit = ncount + 2 * nreg + 2
         super().__init__(nqubit=nqubit, name='ShorCircuit', den_mat=den_mat, mps=mps, chi=chi)
-        minmax1 = [0, ncount - 1]
-        minmax2 = [ncount, ncount + nreg - 1]
+        count_span = [0, ncount - 1]
+        work_span = [ncount, ncount + nreg - 1]
         ancilla = list(range(ncount + nreg, nqubit))
         self.hlayer(list(range(ncount)))
-        self.x(ncount + nreg - 1)
-        for n, i in enumerate(range(ncount - 1, -1, -1)):
-            an = a
-            for _ in range(n):
-                an = an ** 2 % mod
-            cua = ControlledUa(nqubit=nqubit, a=an, mod=mod, minmax=minmax2, ancilla=ancilla,
-                               controls=[i], den_mat=den_mat, mps=mps, chi=chi, debug=debug)
-            self.add(cua)
-        iqft = QuantumFourierTransform(nqubit=nqubit, minmax=minmax1, den_mat=den_mat,
-                                       mps=mps, chi=chi).inverse()
-        self.add(iqft)
+        self.x(work_span[1])                       # work register = |1>
+        # LSB counting wire applies U_a once; each wire above squares a
+        an = a % mod
+        for wire in range(ncount - 1, -1, -1):
+            self.add(ControlledUa(nqubit=nqubit, a=an, mod=mod, minmax=work_span,
+                                  ancilla=ancilla, controls=[wire], den_mat=den_mat,
+                                  mps=mps, chi=chi, debug=debug))
+            an = an * an % mod
+        self.add(QuantumFourierTransform(nqubit=nqubit, minmax=count_span, den_mat=den_mat,
+                                         mps=mps, chi=chi).inverse())
 
 
 class ShorCircuitFor15(Ansatz):
@@ -405,34 +413,32 @@ class ShorCircuitFor15(Ansatz):
 
     def __init__(self, ncount: int, a: int, den_mat=False, mps=False, chi=None) -> None:
         mod = 15
-        nreg = len(bin(mod)) - 2
-        nqubit = ncount + nreg
+        nreg = mod.bit_length()
         self.ncount = ncount
-        super().__init__(nqubit=nqubit, name='ShorCircuitFor15', den_mat=den_mat,
+        super().__init__(nqubit=ncount + nreg, name='ShorCircuitFor15', den_mat=den_mat,
                          mps=mps, chi=chi)
-        minmax = [0, ncount - 1]
         self.hlayer(list(range(ncount)))
-        self.x(ncount + nreg - 1)
-        for n, i in enumerate(range(ncount - 1, -1, -1)):
-            self.cua(a, 2 ** n, i)
-        iqft = QuantumFourierTransform(nqubit=nqubit, minmax=minmax, den_mat=den_mat,
-                                       mps=mps, chi=chi).inverse()
-        self.add(iqft)
+        self.x(ncount + nreg - 1)                   # work register = |1>
+        power = 1
+        for wire in reversed(range(ncount)):
+            self.cua(a, power, wire)
+            power *= 2
+        self.add(QuantumFourierTransform(nqubit=self.nqubit, minmax=[0, ncount - 1],
+                                         den_mat=den_mat, mps=mps, chi=chi).inverse())
+
+    # mod-15 multiplication compiled to work-register wire permutations
+    # (x -> ax mod 15 permutes the 4 dual bits) + X-conjugation for a > 7
+    _PERM_SWAPS = {
+        2: ((2, 3), (1, 2), (0, 1)), 13: ((2, 3), (1, 2), (0, 1)),
+        7: ((0, 1), (1, 2), (2, 3)), 8: ((0, 1), (1, 2), (2, 3)),
+        4: ((1, 3), (0, 2)), 11: ((1, 3), (0, 2)),
+    }
 
     def cua(self, a: int, power: int, controls) -> None:
-        assert a in [2, 4, 7, 8, 11, 13]
+        assert a in self._PERM_SWAPS, f'a={a} is not coprime-compiled for N=15'
         for _ in range(power):
-            if a in [2, 13]:
-                self.swap([self.ncount + 2, self.ncount + 3], controls)
-                self.swap([self.ncount + 1, self.ncount + 2], controls)
-                self.swap([self.ncount + 0, self.ncount + 1], controls)
-            if a in [7, 8]:
-                self.swap([self.ncount + 0, self.ncount + 1], controls)
-                self.swap([self.ncount + 1, self.ncount + 2], controls)
-                self.swap([self.ncount + 2, self.ncount + 3], controls)
-            if a in [4, 11]:
-                self.swap([self.ncount + 1, self.ncount + 3], controls)
-                self.swap([self.ncount + 0, self.ncount + 2], controls)
-            if a in [7, 11, 13]:
+            for lo, hi in self._PERM_SWAPS[a]:
+                self.swap([self.ncount + lo, self.ncount + hi], controls)
+            if a in (7, 11, 13):
                 for q in range(4):
                     self.x(self.ncount + q, controls)

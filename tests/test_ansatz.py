@@ -89,6 +89,19 @@ def test_qcnn_runs_and_shares_params():
     assert np.isfinite(np.asarray(ev)).all()
 
 
+def test_shor_full_arithmetic_order_finding():
+    """The uncompiled ShorCircuit (Beauregard arithmetic: PhiAdder ->
+    PhiModularAdder -> ControlledMultiplier -> ControlledUa) finds the
+    order r=2 of a=2 mod 3: counting-register phases at multiples of 1/2."""
+    from deepquantum_tpu.models.ansatz import ShorCircuit
+    cir = ShorCircuit(mod=3, ncount=3, a=2)
+    cir()
+    res = cir.measure(shots=512, wires=list(range(3)))
+    top = sorted(res, key=res.get, reverse=True)[:2]
+    phases = {int(b, 2) / 8 for b in top}
+    assert phases <= {0.0, 0.5}, phases
+
+
 def test_random_g3_vs_statevector_norm():
     cir = RandomCircuitG3(nqubit=4, ngate=30)
     state = np.asarray(cir()).reshape(-1)
