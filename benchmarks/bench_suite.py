@@ -245,6 +245,60 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
     return out
 
 
+def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
+    """VPU scalar-store vs MXU dot_general formulations of the planar
+    matrix-cotangent reduction (DQ_GRAD_MXU), at fusion K in {2, 3}, plus a
+    recorded on-chip gradient parity row between the two kernels (VERDICT
+    r2 item 6: the VPU form's ~4^K block sums make K=3 lose to K=2)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    prev = os.environ.get('DQ_GRAD_MXU')
+    try:
+        for mxu in (0, 1):
+            os.environ['DQ_GRAD_MXU'] = str(mxu)
+            for K in (2, 3):
+                cir = _build_vqe(n, nlayer)
+                cir.fuse_max_support = K
+                grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+                def make_loop(k):
+                    def loop(p):
+                        def body(p, _):
+                            _, g = grad_fn(p)
+                            return p - 1e-3 * g, None
+                        return jax.lax.scan(body, p, None, length=k)[0]
+                    return loop
+
+                ms = _scan_time(make_loop, cir.params, steps)
+                out[f'mxu{mxu}_K{K}'] = ms
+                print(f'grad kernel mxu={mxu} K={K}: {ms:.2f} ms/step')
+
+        # on-chip gradient parity between the two kernel formulations —
+        # same parameter point for both (param init is random per build)
+        grads = {}
+        p0 = None
+        for mxu in (0, 1):
+            os.environ['DQ_GRAD_MXU'] = str(mxu)
+            cir = _build_vqe(acc_n, 2)
+            if p0 is None:
+                p0 = cir.params
+            g = jax.jit(jax.grad(lambda p: cir.expectation(params=p)[0]))(p0)
+            grads[mxu] = np.asarray(jnp.asarray(g, jnp.float32))
+        denom = max(float(np.abs(grads[0]).max()), 1e-12)
+        out['grad_parity_max_rel'] = float(np.abs(grads[1] - grads[0]).max()) / denom
+        print(f'grad kernel parity (n={acc_n}): max rel diff = '
+              f'{out["grad_parity_max_rel"]:.2e}')
+    finally:
+        if prev is None:
+            os.environ.pop('DQ_GRAD_MXU', None)
+        else:
+            os.environ['DQ_GRAD_MXU'] = prev
+    return out
+
+
 def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
     """Reference hessian_deepquantum.py: full Hessian of the expectation on
     the reference's n x layer grid (3*n*l parameters per cell). Cells whose
@@ -690,6 +744,7 @@ SECTIONS = {
     'gradient': ('gradient_ms', bench_gradient),
     'gradient_large': ('gradient_large_ms', bench_gradient_large),
     'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
+    'grad_mxu': ('grad_mxu_ablation_ms', bench_grad_mxu_ablation),
     'hessian': ('hessian_ms', bench_hessian),
     'roofline': ('gate_apply_roofline', bench_gate_apply_roofline),
     'permanent': ('permanent_ms', bench_permanent),
