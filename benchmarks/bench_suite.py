@@ -246,35 +246,46 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
 
 
 def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
-    """VPU scalar-store vs MXU dot_general formulations of the planar
-    matrix-cotangent reduction (DQ_GRAD_MXU), at fusion K in {2, 3}, plus a
-    recorded on-chip gradient parity row between the two kernels (VERDICT
-    r2 item 6: the VPU form's ~4^K block sums make K=3 lose to K=2)."""
+    """Planar backward-kernel ablation grid: VPU scalar-store vs MXU
+    dot_general cotangent reduction (DQ_GRAD_MXU) x 3-launch vs fused
+    single-launch backward (DQ_FUSED_BWD, 6 -> 4 HBM units per gate) x
+    fusion K in {2, 3}, plus a recorded on-chip gradient parity row
+    (VERDICT r2 item 6)."""
     import os
 
     import jax
     import jax.numpy as jnp
     out = {}
     prev = os.environ.get('DQ_GRAD_MXU')
+    prev_f = os.environ.get('DQ_FUSED_BWD')
     try:
-        for mxu in (0, 1):
-            os.environ['DQ_GRAD_MXU'] = str(mxu)
-            for K in (2, 3):
-                cir = _build_vqe(n, nlayer)
-                cir.fuse_max_support = K
-                grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+        for fused in (0, 1):
+            os.environ['DQ_FUSED_BWD'] = str(fused)
+            for mxu in (0, 1):
+                os.environ['DQ_GRAD_MXU'] = str(mxu)
+                for K in (2, 3):
+                    cir = _build_vqe(n, nlayer)
+                    cir.fuse_max_support = K
+                    grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
 
-                def make_loop(k):
-                    def loop(p):
-                        def body(p, _):
-                            _, g = grad_fn(p)
-                            return p - 1e-3 * g, None
-                        return jax.lax.scan(body, p, None, length=k)[0]
-                    return loop
+                    def make_loop(k):
+                        def loop(p):
+                            def body(p, _):
+                                _, g = grad_fn(p)
+                                return p - 1e-3 * g, None
+                            return jax.lax.scan(body, p, None, length=k)[0]
+                        return loop
 
-                ms = _scan_time(make_loop, cir.params, steps)
-                out[f'mxu{mxu}_K{K}'] = ms
-                print(f'grad kernel mxu={mxu} K={K}: {ms:.2f} ms/step')
+                    try:
+                        ms = _scan_time(make_loop, cir.params, steps)
+                    except Exception as e:  # noqa: BLE001 — record partial grids
+                        print(f'grad kernel fused={fused} mxu={mxu} K={K}: failed '
+                              f'({type(e).__name__}: {str(e)[:100]})')
+                        out[f'fused{fused}_mxu{mxu}_K{K}'] = None
+                        continue
+                    out[f'fused{fused}_mxu{mxu}_K{K}'] = ms
+                    print(f'grad kernel fused={fused} mxu={mxu} K={K}: {ms:.2f} ms/step')
+        os.environ['DQ_FUSED_BWD'] = '0'
 
         # on-chip gradient parity between the two kernel formulations —
         # same parameter point for both (param init is random per build)
@@ -296,6 +307,10 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
             os.environ.pop('DQ_GRAD_MXU', None)
         else:
             os.environ['DQ_GRAD_MXU'] = prev
+        if prev_f is None:
+            os.environ.pop('DQ_FUSED_BWD', None)
+        else:
+            os.environ['DQ_FUSED_BWD'] = prev_f
     return out
 
 

@@ -568,6 +568,243 @@ def _planar_grad(g, x, n: int, wires, interpret: bool = False):
     return total[0], total[1]
 
 
+def _bwd_fused_kernel_body(y_ref, g_ref, mre_ref, mim_ref,
+                           x_ref, gout_ref, part_ref, *,
+                           kh, roll_info, rb, use_mxu):
+    """ONE backward pass per gate: x = U^H y (in place on y), matrix-plane
+    cotangent partials <g, x-versions>, and g' = U^H g (in place on g).
+
+    The unfused backward (_chain_bwd) launches three kernels per gate and
+    moves 6 state-plane units of HBM traffic (R+W, 2R, R+W); this body does
+    the same math in 4 units (2R + 2W) and one launch. The version/roll
+    machinery (bit_vecs, masks, XOR partner selection) is computed once and
+    shared by both applies and the reduction. mre/mim hold U^H planes in
+    sorted-wire order."""
+    from jax.experimental.pallas import tpu as pltpu
+    nv = 1 << len(roll_info)
+    KH = 1 << kh
+    nr = len(roll_info)
+
+    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
+    bit_vecs = []
+    for axis, stride in roll_info:
+        ids = sub_id if axis == 0 else lane_id
+        shift = stride.bit_length() - 1
+        bit_vecs.append((ids >> shift) & 1)
+
+    def h_index(h):
+        idx = []
+        for i in range(kh):
+            idx.extend([0, (h >> (kh - 1 - i)) & 1])
+        idx.append(0)
+        return tuple(idx)
+
+    def versions(s0):
+        vs = [s0]
+        for bi, (axis, stride) in enumerate(roll_info):
+            mask = bit_vecs[bi].astype(jnp.bool_)
+            size = rb if axis == 0 else _T
+            cur = len(vs)
+            for vv in range(cur):
+                v = vs[vv]
+                vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
+                                    pltpu.roll(v, size - stride, axis)))
+        return vs
+
+    masks = []
+    for lo in range(nv):
+        m = None
+        for bi in range(nr):
+            want = (lo >> (nr - 1 - bi)) & 1
+            mb = (bit_vecs[bi] == want)
+            m = mb if m is None else jnp.logical_and(m, mb)
+        masks.append(None if m is None else m.astype(jnp.float32))
+
+    def vrev(v):
+        return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
+
+    Y = [[versions(y_ref[(p,) + h_index(h)]) for h in range(KH)] for p in range(2)]
+    G = [[versions(g_ref[(p,) + h_index(h)]) for h in range(KH)] for p in range(2)]
+
+    def apply_mat(V):
+        outs = [[None] * KH for _ in range(2)]
+        for a in range(KH):
+            outr = None
+            outi = None
+            for lo in range(nv):
+                accr = None
+                acci = None
+                for b in range(KH):
+                    for li in range(nv):
+                        i_out = (a << nr) | lo
+                        i_in = (b << nr) | li
+                        v = vrev(lo ^ li)
+                        cr = mre_ref[i_out, i_in]
+                        ci = mim_ref[i_out, i_in]
+                        xr = V[0][b][v]
+                        xi = V[1][b][v]
+                        tr = xr * cr - xi * ci
+                        ti = xr * ci + xi * cr
+                        accr = tr if accr is None else accr + tr
+                        acci = ti if acci is None else acci + ti
+                if nv == 1:
+                    outr, outi = accr, acci
+                else:
+                    mr = masks[lo] * accr
+                    mi = masks[lo] * acci
+                    outr = mr if outr is None else outr + mr
+                    outi = mi if outi is None else outi + mi
+            outs[0][a] = outr
+            outs[1][a] = outi
+        return outs
+
+    X = apply_mat(Y)
+    GO = apply_mat(G)
+    for p in range(2):
+        for a in range(KH):
+            x_ref[(p,) + h_index(a)] = X[p][a]
+            gout_ref[(p,) + h_index(a)] = GO[p][a]
+
+    XV = [[versions(X[p][h]) for h in range(KH)] for p in range(2)]
+
+    if use_mxu:
+        G_all = [[], []]
+        X_all = [[], []]
+        for p in range(2):
+            for a in range(KH):
+                ga = G[p][a][0]
+                for lo in range(nv):
+                    G_all[p].append(ga if masks[lo] is None else ga * masks[lo])
+            for b in range(KH):
+                X_all[p].extend(XV[p][b])
+        gr = jnp.stack(G_all[0], axis=1)
+        gi = jnp.stack(G_all[1], axis=1)
+        xr = jnp.stack(X_all[0], axis=1)
+        xi = jnp.stack(X_all[1], axis=1)
+        dn = (((2,), (2,)), ((0,), (0,)))
+        hp = jax.lax.Precision.HIGHEST
+        rr = jax.lax.dot_general(gr, xr, dn, precision=hp,
+                                 preferred_element_type=jnp.float32)
+        ii = jax.lax.dot_general(gi, xi, dn, precision=hp,
+                                 preferred_element_type=jnp.float32)
+        ir = jax.lax.dot_general(gi, xr, dn, precision=hp,
+                                 preferred_element_type=jnp.float32)
+        ri = jax.lax.dot_general(gr, xi, dn, precision=hp,
+                                 preferred_element_type=jnp.float32)
+        part_ref[0, 0] = jnp.sum(rr + ii, axis=0)
+        part_ref[0, 1] = jnp.sum(ir - ri, axis=0)
+    else:
+        for a in range(KH):
+            for lo in range(nv):
+                i_out = (a << nr) | lo
+                gr = G[0][a][0]
+                gi = G[1][a][0]
+                if masks[lo] is not None:
+                    gr = gr * masks[lo]
+                    gi = gi * masks[lo]
+                for b in range(KH):
+                    for li in range(nv):
+                        i_in = (b << nr) | li
+                        v = vrev(lo ^ li)
+                        xr = XV[0][b][v]
+                        xi = XV[1][b][v]
+                        part_ref[0, 0, i_out, i_in] = jnp.sum(gr * xr + gi * xi)
+                        part_ref[0, 1, i_out, i_in] = jnp.sum(gi * xr - gr * xi)
+
+
+def _use_fused_bwd() -> bool:
+    import os
+    return os.environ.get('DQ_FUSED_BWD', '0') == '1'
+
+
+def _planar_bwd_fused(y, g, mre_t, mim_t, n: int, wires, interpret: bool = False):
+    """Fused backward step: returns (x, g_new, dmre, dmim) from one
+    pallas_call. y and g are donated (aliased to x and g_new). Matrix
+    planes are U^H in sorted-wire order; handles (B, 2, 2^n) batches as a
+    grid axis like _planar_apply."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ws = sorted(wires)
+    K = 1 << len(ws)
+    kh, rb, roll_info, shape, grid_axes, block = _geometry(n, ws)
+    batched = y.ndim == 3
+    nblocks = int(np.prod(grid_axes))
+    if batched:
+        bsz = y.shape[0]
+        shape = [bsz] + shape
+        block = [None] + block
+        full_grid = [bsz] + grid_axes
+
+        def index_map(bid, *gids):
+            out = [bid, 0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
+
+        def out_index(bid, *gids):
+            flat = 0
+            for i, ax in enumerate(grid_axes):
+                flat = flat * ax + gids[i]
+            return (bid * nblocks + flat, 0, 0, 0)
+
+        mspec = pl.BlockSpec((None,) + mre_t.shape[1:],
+                             lambda bid, *gg: (bid,) + (0,) * (mre_t.ndim - 1),
+                             memory_space=pltpu.SMEM)
+    else:
+        bsz = None
+        full_grid = grid_axes
+
+        def index_map(*gids):
+            out = [0]
+            for i in range(kh):
+                out.extend([gids[i], 0])
+            out.extend([gids[kh], 0, 0])
+            return tuple(out)
+
+        def out_index(*gids):
+            flat = 0
+            for i, ax in enumerate(grid_axes):
+                flat = flat * ax + gids[i]
+            return (flat, 0, 0, 0)
+
+        mspec = pl.BlockSpec(mre_t.shape, lambda *gg: (0,) * mre_t.ndim,
+                             memory_space=pltpu.SMEM)
+
+    nout = nblocks if bsz is None else bsz * nblocks
+    use_mxu = _use_mxu_grad()
+    pspace = pltpu.VMEM if use_mxu else pltpu.SMEM
+    part_spec = pl.BlockSpec((1, 2, K, K), out_index, memory_space=pspace)
+    spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_fused_kernel_body, kh=kh,
+                               roll_info=roll_info, rb=rb, use_mxu=use_mxu)
+    x, g_new, parts = pl.pallas_call(
+        kernel,
+        grid=tuple(full_grid),
+        out_shape=[jax.ShapeDtypeStruct(tuple(shape), jnp.float32),
+                   jax.ShapeDtypeStruct(tuple(shape), jnp.float32),
+                   jax.ShapeDtypeStruct((nout, 2, K, K), jnp.float32)],
+        in_specs=[spec, spec, mspec, mspec],
+        out_specs=[spec, spec, part_spec],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )(y.reshape(shape), g.reshape(shape), mre_t, mim_t)
+    if batched:
+        total = jnp.sum(parts.reshape(bsz, nblocks, 2, K, K), axis=1)
+    else:
+        total = jnp.sum(parts, axis=0)
+    if use_mxu and len(roll_info) > 0:
+        rows, perm = _version_perm(kh, len(roll_info))
+        total = total[..., rows, perm]
+    if batched:
+        dre, dim = total[:, 0], total[:, 1]
+    else:
+        dre, dim = total[0], total[1]
+    return x.reshape(y.shape), g_new.reshape(g.shape), dre, dim
+
+
 def _mT(m):
     """Matrix transpose that leaves any leading batch axes alone."""
     return jnp.swapaxes(m, -1, -2)
@@ -619,6 +856,10 @@ def _bwd(n, wires, interpret, res, g):
     y, mre, mim = res
     mre_t = _mT(mre)
     mim_t = -_mT(mim)
+    if _use_fused_bwd():
+        _, dx, dmre, dmim = _planar_bwd_fused(y, g, mre_t, mim_t, n,
+                                              tuple(wires), interpret)
+        return dx, dmre, dmim
     x = _planar_apply(y, mre_t, mim_t, n, tuple(wires), interpret)
     dmre, dmim = _planar_grad(g, x, n, tuple(wires), interpret)
     dx = _planar_apply(g, mre_t, mim_t, n, tuple(wires), interpret)
@@ -663,15 +904,20 @@ def _chain_fwd(x, mres, mims, n, wires_seq, interpret):
 
 def _chain_bwd(n, wires_seq, interpret, res, g):
     y, mres, mims = res
+    fused = _use_fused_bwd()
     dres = [None] * len(mres)
     dims = [None] * len(mres)
     for i in range(len(mres) - 1, -1, -1):
         mre_t = _mT(mres[i])
         mim_t = -_mT(mims[i])
-        x = _planar_apply(y, mre_t, mim_t, n, wires_seq[i], interpret)
-        dres[i], dims[i] = _planar_grad(g, x, n, wires_seq[i], interpret)
-        g = _planar_apply(g, mre_t, mim_t, n, wires_seq[i], interpret)
-        y = x
+        if fused:
+            y, g, dres[i], dims[i] = _planar_bwd_fused(
+                y, g, mre_t, mim_t, n, wires_seq[i], interpret)
+        else:
+            x = _planar_apply(y, mre_t, mim_t, n, wires_seq[i], interpret)
+            dres[i], dims[i] = _planar_grad(g, x, n, wires_seq[i], interpret)
+            g = _planar_apply(g, mre_t, mim_t, n, wires_seq[i], interpret)
+            y = x
     return g, tuple(dres), tuple(dims)
 
 
@@ -783,6 +1029,20 @@ def grad_raw(g, x, n: int, wires, use_pallas: bool, interpret: bool = False):
     if use_pallas and planar_supported(n, ws) and g.dtype == jnp.float32:
         return _planar_grad(g, x, n, ws, interpret)
     return planar_grad_xla(g, x, n, ws)
+
+
+def bwd_fused_raw(y, g, mre_t, mim_t, n: int, wires, use_pallas: bool,
+                  interpret: bool = False):
+    """One backward gate step (x, g', dmre, dmim): the fused single-launch
+    kernel when enabled (DQ_FUSED_BWD) and supported, else the 3-op path."""
+    ws = tuple(sorted(wires))
+    if (use_pallas and _use_fused_bwd() and planar_supported(n, ws)
+            and y.dtype == jnp.float32):
+        return _planar_bwd_fused(y, g, mre_t, mim_t, n, ws, interpret)
+    x = apply_raw(y, mre_t, mim_t, n, ws, use_pallas, interpret)
+    dmre, dmim = grad_raw(g, x, n, ws, use_pallas, interpret)
+    g = apply_raw(g, mre_t, mim_t, n, ws, use_pallas, interpret)
+    return x, g, dmre, dmim
 
 
 def planar_evolve_any(x, mre, mim, n: int, wires, interpret: bool = False):

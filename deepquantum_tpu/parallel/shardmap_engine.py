@@ -47,7 +47,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..bitmath import flip_bit, get_bit, is_power_of_2, log_base2
 from ..config import cdtype, rdtype
 from ..ops.apply import controlled_matrix, permute_matrix_wires
-from ..ops.planar_gate import (apply_raw, from_planar, grad_raw, to_planar)
+from ..ops.planar_gate import (apply_raw, bwd_fused_raw, from_planar,
+                               grad_raw, to_planar)
 
 __all__ = ['ShardMapSimulator', 'shardmap_chain', 'shardmap_expectation']
 
@@ -135,11 +136,8 @@ def _step_bwd(cfg: _Cfg, y, g, mre, mim, step):
     kind = step[0]
     mre_t, mim_t = mre.T, -mim.T
     if kind == 'local':
-        ws = step[1]
-        x = apply_raw(y, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
-        dmre, dmim = grad_raw(g, x, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
-        g = apply_raw(g, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
-        return x, g, dmre, dmim
+        return bwd_fused_raw(y, g, mre_t, mim_t, cfg.nlocal, step[1],
+                             cfg.use_pallas, cfg.interp)
     if kind == 'g1':
         gq = step[1]
         x = _g1_apply(cfg, y, mre_t, mim_t, gq)
@@ -168,9 +166,8 @@ def _step_bwd(cfg: _Cfg, y, g, mre, mim, step):
     for gq, lw in swaps:
         y = _swap_gl(cfg, y, gq, lw)
         g = _swap_gl(cfg, g, gq, lw)
-    x = apply_raw(y, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
-    dmre, dmim = grad_raw(g, x, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
-    g = apply_raw(g, mre_t, mim_t, cfg.nlocal, ws, cfg.use_pallas, cfg.interp)
+    x, g, dmre, dmim = bwd_fused_raw(y, g, mre_t, mim_t, cfg.nlocal, ws,
+                                     cfg.use_pallas, cfg.interp)
     for gq, lw in reversed(swaps):
         x = _swap_gl(cfg, x, gq, lw)
         g = _swap_gl(cfg, g, gq, lw)

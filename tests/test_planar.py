@@ -123,6 +123,75 @@ def test_planar_shardmap_engine(c64):
                                e_local, atol=1e-5)
 
 
+@pytest.mark.parametrize('mxu', ['0', '1'])
+def test_planar_fused_backward_matches_unfused(mxu, c64):
+    """DQ_FUSED_BWD=1 collapses the 3-launch backward (un-apply, reduce,
+    propagate) into ONE pallas_call per gate (4 HBM units instead of 6).
+    Full-circuit gradients must match the unfused path bit-for-bit-ish in
+    interpret mode, for both cotangent-reduction variants, single and
+    batched."""
+    n, B = 11, 2
+
+    def build():
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i, encode=True)
+        for i in range(n):
+            cir.ry(i)
+        cir.cnot_ring()
+        cir.observable(0)
+        return cir
+
+    rng = np.random.default_rng(9)
+    data = jnp.asarray(rng.random(n), jnp.float32)
+    datab = jnp.asarray(rng.random((B, n)), jnp.float32)
+    cir = build()
+    p = cir.params
+
+    def grads():
+        g1 = jax.grad(lambda q: cir.expectation(data=data, params=q)[0])(p)
+        gb = jax.grad(lambda q: jnp.sum(cir.expectation(data=datab, params=q)))(p)
+        return np.asarray(g1), np.asarray(gb)
+
+    os.environ['DQ_GRAD_MXU'] = mxu
+    try:
+        g_ref, gb_ref = grads()
+        os.environ['DQ_FUSED_BWD'] = '1'
+        g_fused, gb_fused = grads()
+    finally:
+        os.environ.pop('DQ_FUSED_BWD', None)
+        os.environ.pop('DQ_GRAD_MXU', None)
+    np.testing.assert_allclose(g_fused, g_ref, atol=1e-6)
+    np.testing.assert_allclose(gb_fused, gb_ref, atol=1e-6)
+
+
+def test_planar_fused_backward_shardmap(c64):
+    """The shard_map engine's chain backward rides the fused kernel per
+    local group when DQ_FUSED_BWD=1: mesh gradients match the local
+    circuit."""
+    from deepquantum_tpu.parallel import make_mesh
+    from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
+
+    n = 6
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.ry(i)
+    for i in range(n - 1):
+        cir.cnot(i, i + 1)
+    cir.observable(0)
+    p = cir.params
+    g_local = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+
+    os.environ['DQ_FUSED_BWD'] = '1'
+    try:
+        sim = ShardMapSimulator(n, make_mesh(8), planar=True)
+        g_mesh = np.asarray(jax.grad(
+            lambda q: sim.expectation(cir, params=q)[0])(p))
+    finally:
+        os.environ.pop('DQ_FUSED_BWD', None)
+    np.testing.assert_allclose(g_mesh, g_local, atol=1e-5)
+
+
 @pytest.mark.parametrize('n,wires', [
     (10, (0,)), (10, (9,)), (10, (3, 7)), (12, (0, 5, 11)), (12, (10, 11)),
 ])
