@@ -497,8 +497,8 @@ def bench_permanent(ns=(10, 14, 18, 20, 22), steps=5, batch=4,
     return out
 
 
-def _hafnian_host_f64(a: np.ndarray) -> complex:
-    """Host f64 power-trace hafnian (same published recurrence as
+def _hafnian_host_f64(a: np.ndarray, loop: bool = False) -> complex:
+    """Host f64 power-trace (loop) hafnian (same published recurrence as
     photonic/hafnian_.py, numpy complex128) — the on-chip accuracy oracle."""
     n = a.shape[0]
     m = n // 2
@@ -510,11 +510,20 @@ def _hafnian_host_f64(a: np.ndarray) -> complex:
             az = a[np.ix_(idx, idx)]
             xaz = np.copy(az)
             xaz[0::2], xaz[1::2] = az[1::2], az[0::2]
+            if loop:
+                v = np.diagonal(az)
+                xv = np.copy(v)
+                xv[0::2], xv[1::2] = v[1::2], v[0::2]
+                xv = xv / 2
+                u = v
             p = np.zeros(m, np.complex128)
             mat = np.eye(2 * r, dtype=np.complex128)
             for j in range(1, m + 1):
                 mat = mat @ xaz
                 p[j - 1] = np.trace(mat) / (2 * j)
+                if loop:
+                    p[j - 1] += u @ xv
+                    u = u @ xaz
             e = np.zeros(m + 1, np.complex128)
             e[0] = 1
             for k in range(1, m + 1):
@@ -550,6 +559,44 @@ def bench_hafnian(ns=(8, 12, 16), steps=5):
             ms = _scan_time(make_loop, m, steps)
         out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel)
         print(f'hafnian n={n}: {ms:.3f} ms, rel err vs f64 = {rel:.2e}')
+
+        # loop (displaced-state) hafnian — same df32 path, diagonal terms on
+        lval = complex(np.asarray(to_numpy(jax.jit(
+            lambda z: hafnian(z, loop=True))(m))))
+        lorac = _hafnian_host_f64(host.astype(np.complex128), loop=True)
+        lrel = abs(lval - lorac) / abs(lorac)
+
+        def make_loop_l(k):
+            def loop(x):
+                def body(x, _):
+                    v = hafnian(x, loop=True)
+                    return x * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(x.dtype), None
+                return jax.lax.scan(body, x, None, length=k)[0]
+            return loop
+
+        lms = _scan_time(make_loop_l, m, steps)
+        out[f'loop_n{n}'] = dict(ms=lms, rel_err_vs_f64=lrel)
+        print(f'loop hafnian n={n}: {lms:.3f} ms, rel err vs f64 = {lrel:.2e}')
+
+    # batched throughput at fixed n (reference hafnian_deepquantum_batch.py)
+    from deepquantum_tpu.photonic.hafnian_ import hafnian_batch
+    n, B = 12, 100
+    zs = rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    hosts = (zs + np.swapaxes(zs, 1, 2)).astype(np.complex64)
+    mats = to_device(hosts)
+
+    def make_loop_b(k):
+        def loop(x):
+            def body(x, _):
+                v = hafnian_batch(x)
+                scale = (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(x.dtype)
+                return x * scale[:, None, None], None
+            return jax.lax.scan(body, x, None, length=k)[0]
+        return loop
+
+    bms = _scan_time(make_loop_b, mats, steps)
+    out[f'batch{B}_n{n}'] = dict(total_ms=bms, ms_per_hafnian=bms / B)
+    print(f'hafnian batch={B} n={n}: {bms:.3f} ms total, {bms / B:.4f} ms each')
     return out
 
 
