@@ -372,6 +372,9 @@ class QubitCircuit:
             assert reg is not None, f'Unknown gate: {name}'
             matrix_fn = reg['fn']
             npara = reg['npara']
+            assert len(wires) == reg['nwires'], \
+                f'{name} acts on {reg["nwires"]} wire(s), got {wires} ' \
+                f'(did you pass a control as a wire? e.g. swap takes a LIST)'
         if npara is None:
             npara = 0
         if requires_grad is None:

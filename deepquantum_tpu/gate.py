@@ -108,28 +108,28 @@ def _rand_angle_pi():
 # name -> (npara, matrix_fn builder, default init). matrix_fn takes the packed
 # param subvector p (1-D array) to keep a uniform calling convention.
 GATE_REGISTRY: dict[str, dict] = {
-    'U3Gate': dict(npara=3, fn=lambda p: G.u3_matrix(p[0], p[1], p[2])),
-    'PhaseShift': dict(npara=1, fn=lambda p: G.phaseshift_matrix(p[0])),
-    'Identity': dict(npara=0, fn=lambda p: G.identity_matrix()),
-    'PauliX': dict(npara=0, fn=lambda p: G.paulix_matrix()),
-    'PauliY': dict(npara=0, fn=lambda p: G.pauliy_matrix()),
-    'PauliZ': dict(npara=0, fn=lambda p: G.pauliz_matrix()),
-    'Hadamard': dict(npara=0, fn=lambda p: G.hadamard_matrix()),
-    'SGate': dict(npara=0, fn=lambda p: G.s_matrix()),
-    'SDaggerGate': dict(npara=0, fn=lambda p: G.sdg_matrix()),
-    'TGate': dict(npara=0, fn=lambda p: G.t_matrix()),
-    'TDaggerGate': dict(npara=0, fn=lambda p: G.tdg_matrix()),
-    'Rx': dict(npara=1, fn=lambda p: G.rx_matrix(p[0])),
-    'Ry': dict(npara=1, fn=lambda p: G.ry_matrix(p[0])),
-    'Rz': dict(npara=1, fn=lambda p: G.rz_matrix(p[0])),
-    'CNOT': dict(npara=0, fn=lambda p: G.cnot_matrix()),
-    'Swap': dict(npara=0, fn=lambda p: G.swap_matrix()),
-    'ImaginarySwap': dict(npara=0, fn=lambda p: G.iswap_matrix()),
-    'Rxx': dict(npara=1, fn=lambda p: G.rxx_matrix(p[0])),
-    'Ryy': dict(npara=1, fn=lambda p: G.ryy_matrix(p[0])),
-    'Rzz': dict(npara=1, fn=lambda p: G.rzz_matrix(p[0])),
-    'Rxy': dict(npara=1, fn=lambda p: G.rxy_matrix(p[0])),
-    'ReconfigurableBeamSplitter': dict(npara=1, fn=lambda p: G.rbs_matrix(p[0])),
-    'Toffoli': dict(npara=0, fn=lambda p: G.toffoli_matrix()),
-    'Fredkin': dict(npara=0, fn=lambda p: G.fredkin_matrix()),
+    'U3Gate': dict(nwires=1, npara=3, fn=lambda p: G.u3_matrix(p[0], p[1], p[2])),
+    'PhaseShift': dict(nwires=1, npara=1, fn=lambda p: G.phaseshift_matrix(p[0])),
+    'Identity': dict(nwires=1, npara=0, fn=lambda p: G.identity_matrix()),
+    'PauliX': dict(nwires=1, npara=0, fn=lambda p: G.paulix_matrix()),
+    'PauliY': dict(nwires=1, npara=0, fn=lambda p: G.pauliy_matrix()),
+    'PauliZ': dict(nwires=1, npara=0, fn=lambda p: G.pauliz_matrix()),
+    'Hadamard': dict(nwires=1, npara=0, fn=lambda p: G.hadamard_matrix()),
+    'SGate': dict(nwires=1, npara=0, fn=lambda p: G.s_matrix()),
+    'SDaggerGate': dict(nwires=1, npara=0, fn=lambda p: G.sdg_matrix()),
+    'TGate': dict(nwires=1, npara=0, fn=lambda p: G.t_matrix()),
+    'TDaggerGate': dict(nwires=1, npara=0, fn=lambda p: G.tdg_matrix()),
+    'Rx': dict(nwires=1, npara=1, fn=lambda p: G.rx_matrix(p[0])),
+    'Ry': dict(nwires=1, npara=1, fn=lambda p: G.ry_matrix(p[0])),
+    'Rz': dict(nwires=1, npara=1, fn=lambda p: G.rz_matrix(p[0])),
+    'CNOT': dict(nwires=2, npara=0, fn=lambda p: G.cnot_matrix()),
+    'Swap': dict(nwires=2, npara=0, fn=lambda p: G.swap_matrix()),
+    'ImaginarySwap': dict(nwires=2, npara=0, fn=lambda p: G.iswap_matrix()),
+    'Rxx': dict(nwires=2, npara=1, fn=lambda p: G.rxx_matrix(p[0])),
+    'Ryy': dict(nwires=2, npara=1, fn=lambda p: G.ryy_matrix(p[0])),
+    'Rzz': dict(nwires=2, npara=1, fn=lambda p: G.rzz_matrix(p[0])),
+    'Rxy': dict(nwires=2, npara=1, fn=lambda p: G.rxy_matrix(p[0])),
+    'ReconfigurableBeamSplitter': dict(nwires=2, npara=1, fn=lambda p: G.rbs_matrix(p[0])),
+    'Toffoli': dict(nwires=3, npara=0, fn=lambda p: G.toffoli_matrix()),
+    'Fredkin': dict(nwires=3, npara=0, fn=lambda p: G.fredkin_matrix()),
 }

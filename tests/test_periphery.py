@@ -32,6 +32,49 @@ def test_qasm3_roundtrip():
     np.testing.assert_allclose(u1, u2, atol=1e-8)
 
 
+def test_qasm3_roundtrip_fuzz():
+    """Randomized circuits over the whole exportable gate pool survive
+    export -> import with identical unitaries (robustness sweep beyond the
+    fixed-circuit roundtrips)."""
+    rng = np.random.default_rng(17)
+    n = 4
+    one_q = ['h', 'x', 'y', 'z', 's', 't', 'sdg', 'tdg']
+    rot_1q = ['rx', 'ry', 'rz', 'p']
+    two_q = ['cnot', 'cz', 'cy', 'ch', 'swap']
+    rot_2q = ['rxx', 'ryy', 'rzz']
+    for trial in range(4):
+        cir = dq.QubitCircuit(n)
+        for _ in range(12):
+            kind = rng.integers(0, 6)
+            if kind == 0:
+                getattr(cir, str(rng.choice(one_q)))(int(rng.integers(n)))
+            elif kind == 1:
+                getattr(cir, str(rng.choice(rot_1q)))(
+                    int(rng.integers(n)), inputs=float(rng.random() * 2 * np.pi))
+            elif kind == 2:
+                a, b = rng.choice(n, 2, replace=False)
+                g = str(rng.choice(two_q))
+                if g == 'swap':
+                    cir.swap([int(a), int(b)])
+                else:
+                    getattr(cir, g)(int(a), int(b))
+            elif kind == 3:
+                a, b = rng.choice(n, 2, replace=False)
+                getattr(cir, str(rng.choice(rot_2q)))(
+                    [int(a), int(b)], inputs=float(rng.random()))
+            elif kind == 4:
+                a, b, c = rng.choice(n, 3, replace=False)
+                cir.toffoli(int(a), int(b), int(c))
+            else:
+                cir.u3(int(rng.integers(n)),
+                       inputs=list(rng.random(3) * np.pi))
+        qasm = cir.qasm3()
+        cir2 = qasm3_to_cir(qasm)
+        np.testing.assert_allclose(np.asarray(cir.get_unitary()),
+                                   np.asarray(cir2.get_unitary()),
+                                   atol=1e-8, err_msg=f'trial {trial}')
+
+
 def test_qasm2_export():
     cir = dq.QubitCircuit(2)
     cir.h(0)
