@@ -622,8 +622,9 @@ class QubitCircuit:
                 backend_ok = True        # forced (CPU tests run in interpret mode)
             else:
                 backend_ok = jax.default_backend() == 'tpu'
-            ok = (backend_ok and not self.den_mat and not self.mps
-                  and self.nqubit >= 10 and cdtype() == jnp.complex64)
+            eff_n = 2 * self.nqubit if self.den_mat else self.nqubit
+            ok = (backend_ok and not self.mps
+                  and eff_n >= 10 and cdtype() == jnp.complex64)
             if ok:
                 for entry in self._fused_plan():
                     if entry[0] == 'group':
@@ -632,6 +633,8 @@ class QubitCircuit:
                             break
                     else:
                         op = entry[1]
+                        if self.den_mat and op.kind == 'channel':
+                            continue    # channels flush the planar chain
                         if (op.kind != 'gate' or op.condition
                                 or len(set(op.wires) | set(op.controls)) > 3):
                             ok = False
@@ -689,10 +692,59 @@ class QubitCircuit:
                          n, tuple(wseq), interp)
         return from_planar(p)
 
+    def _sim_planar_dm(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Density-matrix circuits on the planar kernel: rho (2^n x 2^n) is a
+        2n-qubit planar state; each unitary U on wires w becomes U on w (row
+        side) and conj(U) on w + n (column side) in ONE chain — row/col ops
+        commute, so U rho U^dag per gate interleaves freely. Kraus channels
+        are not unitary (the chain VJP un-applies by inversion), so each
+        channel flushes the current chain and runs through the dense Kraus
+        path; gradients keep O(#channels) residual states instead of
+        O(#gates). No reference analog (torch den_mat einsum throughout)."""
+        from .ops.apply import controlled_matrix
+        from .ops.planar_gate import from_planar, planar_chain_matrices, to_planar
+        n = self.nqubit
+        nn = 2 * n
+        interp = jax.default_backend() != 'tpu'
+        mats: list = []
+        wlists: list = []
+        p = to_planar(x.reshape(-1))
+
+        def flush(p):
+            if mats:
+                p = planar_chain_matrices(p, list(mats), list(wlists), nn,
+                                          interpret=interp)
+                mats.clear()
+                wlists.clear()
+            return p
+
+        for entry in self._fused_plan():
+            if entry[0] == 'op' and entry[1].kind == 'channel':
+                p = flush(p)
+                rho = from_planar(p).reshape([2] * nn)
+                rho = self._apply_op(entry[1], full_params, rho)
+                p = to_planar(rho.reshape(-1))
+                continue
+            if entry[0] == 'op':
+                op = entry[1]
+                mat = controlled_matrix(jnp.asarray(op.matrix(full_params), cdtype()),
+                                        len(op.controls))
+                wires = list(op.controls) + list(op.wires)
+            else:
+                mat, wires = self._fused_matrix(entry, full_params)
+            mats.append(mat)
+            wlists.append(list(wires))
+            mats.append(jnp.conj(mat))
+            wlists.append([w + n for w in wires])
+        p = flush(p)
+        return from_planar(p).reshape([2] * nn)
+
     def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
         n = self.nqubit
         if self._planar_ok():
+            if self.den_mat:
+                return self._sim_planar_dm(full_params, x)
             return self._sim_planar(full_params, x)
         for entry in self._fused_plan():
             if entry[0] == 'op':

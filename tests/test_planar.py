@@ -87,11 +87,54 @@ def test_planar_circuit_expectation_and_grad(c64):
 
 
 def test_planar_disabled_paths(c64):
-    """den_mat / mps / small-n / x64 circuits never take the planar route."""
+    """mps / small-n / x64 circuits never take the planar route."""
     assert not dq.QubitCircuit(8)._planar_ok()                  # n < 10
-    assert not dq.QubitCircuit(12, den_mat=True)._planar_ok()
+    assert not dq.QubitCircuit(4, den_mat=True)._planar_ok()    # 2n < 10
     dq.set_dtype('complex128')
     assert not dq.QubitCircuit(12)._planar_ok()                 # x64 policy
+
+
+def test_planar_density_matrix_with_channels(c64):
+    """Density-matrix circuits ride the planar kernel: rho is a 2n-qubit
+    planar state (U on wires, conj(U) on wires + n, one chain); Kraus
+    channels flush the chain and run dense. State, expectation, and
+    gradients match the den-mat einsum engine."""
+    n = 6
+
+    def build():
+        cir = dq.QubitCircuit(n, den_mat=True)
+        for i in range(n):
+            cir.rx(i)
+        cir.cnot_ring()
+        cir.bit_flip(0, inputs=0.05)
+        for i in range(n):
+            cir.ry(i)
+        cir.amp_damp(3, inputs=0.1)
+        cir.cnot(0, 1)
+        cir.observable(0)
+        cir.observable([2, 3], basis='zx')
+        return cir
+
+    cir = build()
+    assert cir._planar_ok()
+    p = cir.params
+    rho_p = np.asarray(cir(params=p))
+    e_p = np.asarray(cir.expectation(params=p))
+    g_p = np.asarray(jax.jit(jax.grad(
+        lambda q: cir.expectation(params=q)[0]))(p))
+
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = build()
+    assert not cir2._planar_ok()
+    rho_r = np.asarray(cir2(params=p))
+    e_r = np.asarray(cir2.expectation(params=p))
+    g_r = np.asarray(jax.jit(jax.grad(
+        lambda q: cir2.expectation(params=q)[0]))(p))
+    os.environ['DQ_PLANAR'] = '1'
+
+    np.testing.assert_allclose(rho_p, rho_r, atol=1e-6)
+    np.testing.assert_allclose(e_p, e_r, atol=1e-6)
+    np.testing.assert_allclose(g_p, g_r, atol=1e-5)
 
 
 def test_planar_shardmap_engine(c64):
