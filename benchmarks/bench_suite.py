@@ -314,6 +314,59 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
     return out
 
 
+def bench_denmat(n=12, nlayer=3, steps=5):
+    """Noisy-QML density-matrix grad step (rho = 4^n amplitudes): the planar
+    2n-qubit route (circuit.py::_sim_planar_dm) vs the den-mat einsum
+    engine. One depolarizing channel per layer flushes the planar chain."""
+    import os
+
+    import jax
+    import deepquantum_tpu as dq
+
+    def build():
+        cir = dq.QubitCircuit(n, den_mat=True)
+        for _ in range(nlayer):
+            for i in range(n):
+                cir.rx(i)
+                cir.rz(i)
+            cir.cnot_ring()
+            cir.depolarizing(0, inputs=0.01)
+        cir.observable(list(range(n)), basis='x' * n)
+        return cir
+
+    out = {}
+    prev = os.environ.get('DQ_PLANAR')
+    try:
+        for planar in (1, 0):
+            os.environ['DQ_PLANAR'] = str(planar)
+            cir = build()
+            grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        _, g = grad_fn(p)
+                        return p - 1e-3 * g, None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
+
+            try:
+                ms = _scan_time(make_loop, cir.params, steps)
+            except Exception as e:  # noqa: BLE001
+                print(f'denmat planar={planar}: failed ({type(e).__name__}: '
+                      f'{str(e)[:100]})')
+                out[f'planar{planar}'] = None
+                continue
+            out[f'planar{planar}'] = ms
+            print(f'denmat n={n} l={nlayer} planar={planar}: {ms:.2f} ms/step')
+    finally:
+        if prev is None:
+            os.environ.pop('DQ_PLANAR', None)
+        else:
+            os.environ['DQ_PLANAR'] = prev
+    return out
+
+
 def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
     """Reference hessian_deepquantum.py: full Hessian of the expectation on
     the reference's n x layer grid (3*n*l parameters per cell). Cells whose
@@ -807,6 +860,7 @@ SECTIONS = {
     'gradient_large': ('gradient_large_ms', bench_gradient_large),
     'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
     'grad_mxu': ('grad_mxu_ablation_ms', bench_grad_mxu_ablation),
+    'denmat': ('denmat_grad_ms', bench_denmat),
     'hessian': ('hessian_ms', bench_hessian),
     'roofline': ('gate_apply_roofline', bench_gate_apply_roofline),
     'permanent': ('permanent_ms', bench_permanent),

@@ -7,8 +7,11 @@ cd "$(dirname "$0")/.."
 
 timeout 580 python benchmarks/tpu_smoke.py 2>&1 | tail -12
 
-# MXU grad-kernel decision data (VERDICT item 6)
+# MXU grad-kernel decision data (VERDICT item 6) + fused-backward grid
 timeout 580 python benchmarks/bench_suite.py grad_mxu 2>&1 | tail -12
+
+# den-mat noisy-QML planar route
+timeout 580 python benchmarks/bench_suite.py denmat 2>&1 | tail -4
 
 # stale / missing artifact rows (VERDICT items 3, 5, 7 + loop rows)
 timeout 580 python benchmarks/bench_suite.py torontonian 2>&1 | tail -10
