@@ -102,6 +102,47 @@ target = np.zeros(4, complex); target[0] = target[3] = 2**-0.5
 fid = abs(np.vdot(st8, target))
 ok.append(('mbqc', fid > 1 - 1e-5, f'fidelity={fid:.6f}'))
 
+# 9. density-matrix noisy circuit on the planar route (rho = 2n-qubit planes)
+import os
+dm = dq.QubitCircuit(6, den_mat=True)
+for i in range(6):
+    dm.rx(i)
+dm.cnot_ring()
+dm.bit_flip(0, inputs=0.05)
+for i in range(6):
+    dm.ry(i)
+dm.observable(0)
+dm_planar = dm._planar_ok()
+planar_expected = jax.default_backend() == 'tpu'   # CPU runs take the einsum route
+p0 = dm.params
+g_dm = np.asarray(to_numpy(jax.jit(jax.grad(
+    lambda q: dm.expectation(params=q)[0]))(p0)))
+rho = np.asarray(to_numpy(dm(params=p0)))
+tr = float(np.real(np.trace(rho)))
+ok.append(('denmat_planar', dm_planar == planar_expected and abs(tr - 1) < 1e-5
+           and np.isfinite(g_dm).all(), f'planar={dm_planar} tr={tr:.6f}'))
+
+# 10. fused single-launch backward matches the default backward
+fv = dq.QubitCircuit(12)
+for i in range(12):
+    fv.ry(i)
+fv.cnot_ring()
+fv.observable(0)
+pf = fv.params
+g_def = np.asarray(to_numpy(jax.jit(jax.grad(
+    lambda q: fv.expectation(params=q)[0]))(pf)))
+os.environ['DQ_FUSED_BWD'] = '1'
+fv2 = dq.QubitCircuit(12)
+for i in range(12):
+    fv2.ry(i)
+fv2.cnot_ring()
+fv2.observable(0)
+g_fus = np.asarray(to_numpy(jax.jit(jax.grad(
+    lambda q: fv2.expectation(params=q)[0]))(pf)))
+os.environ.pop('DQ_FUSED_BWD', None)
+diff = float(np.abs(g_fus - g_def).max())
+ok.append(('fused_bwd', diff < 1e-5, f'max grad diff={diff:.2e}'))
+
 print()
 for name, passed, info in ok:
     print(f'{"PASS" if passed else "FAIL":4} {name:16} {info}')
