@@ -111,7 +111,32 @@ def bench_reference() -> float | None:
         return None
 
 
+def _probe_device(seconds: int = 150) -> bool:
+    """Device init HANGS inside the PJRT C++ client when the axon tunnel is
+    down (a SIGALRM python handler never gets to run), so probe in a
+    subprocess with a hard timeout — the driver then gets a clean failure
+    line instead of a hang."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=seconds, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print('# device probe timed out', file=sys.stderr)
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            'metric': f'vqe_grad_step_latency_n{N_QUBIT}_l{N_LAYER}',
+            'value': None,
+            'unit': 'ms',
+            'vs_baseline': None,
+            'error': 'accelerator unreachable (axon tunnel down at bench time)',
+        }))
+        sys.exit(1)
     # remote TPU attachment paths occasionally kill the compile helper
     # (HTTP 500 / SIGKILL); a clean retry succeeds
     last_exc = None
