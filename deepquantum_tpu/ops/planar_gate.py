@@ -196,11 +196,26 @@ def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
         y_ref[(1,) + h_index(a)] = outi
 
 
-def _geometry(n: int, ws):
+def _geometry(n: int, ws, rb_bits_max: int = _RB_BITS_MAX):
     """Shared block geometry for the forward and grad kernels: the logical
     view exposing head wires as (2, A0, 2, A1, 2, ..., Ak, RB, T), the
-    per-block roll recipe for mid/tail wires, and the BlockSpec pieces."""
+    per-block roll recipe for mid/tail wires, and the BlockSpec pieces.
+
+    ``rb_bits_max`` lets two-state kernels (the fused backward) shrink the
+    row block: VMEM is ~16 MB/core and y + g blocks at kh = 3, RB = 128 are
+    2 MB each before double buffering."""
     head, mid, tail, rb_bits = _classify(n, ws)
+    if rb_bits_max < _RB_BITS_MAX:
+        rb_bits = min(rb_bits, rb_bits_max)
+        head, mid = [], []
+        for w in ws:
+            b = n - 1 - w
+            if b < _T_BITS:
+                pass                        # tail unchanged
+            elif b < _T_BITS + rb_bits:
+                mid.append(w)
+            else:
+                head.append(w)
     kh = len(head)
     rb = 1 << rb_bits
 
@@ -729,6 +744,10 @@ def _planar_bwd_fused(y, g, mre_t, mim_t, n: int, wires, interpret: bool = False
     ws = sorted(wires)
     K = 1 << len(ws)
     kh, rb, roll_info, shape, grid_axes, block = _geometry(n, ws)
+    if kh >= 3:
+        # two live state blocks: halve RB so y + g fit VMEM double-buffered
+        kh, rb, roll_info, shape, grid_axes, block = _geometry(
+            n, ws, rb_bits_max=6)
     batched = y.ndim == 3
     nblocks = int(np.prod(grid_axes))
     if batched:
