@@ -162,11 +162,21 @@ def df_exp(ah, al):
     eh, el = _df_horner(th, tl, _EXP_COEFFS)
     # 2^k must be EXACT — jnp.exp2 is a polynomial approximation (~2^-20
     # rel err, measured 1.1e-6 at a=23.7), so build the power of two from
-    # the exponent bits. k outside [-127, 128] flushes to 0 / inf like f32.
-    ki = jnp.clip(k.astype(jnp.int32), -127, 128)
-    scale = jax.lax.bitcast_convert_type(
-        ((ki + 127) << 23).astype(jnp.int32), jnp.float32)
-    return eh * scale, el * scale
+    # the exponent bits. Split k across two factors so the edge octaves
+    # (e.g. exp(88.5): k = 128, representable result) don't clip to inf —
+    # a single bitcast covers only k in [-126, 127]; the split covers
+    # [-252, 254], beyond which f32 is inf/0 anyway.
+    ki = k.astype(jnp.int32)
+    k1 = jnp.clip(ki // 2, -126, 127)
+    k2 = jnp.clip(ki - k1, -126, 127)
+
+    def pow2(e):
+        return jax.lax.bitcast_convert_type(
+            ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+    scale1 = pow2(k1)
+    scale2 = pow2(k2)
+    return eh * scale1 * scale2, el * scale1 * scale2
 
 
 def df_sincos(ah, al):

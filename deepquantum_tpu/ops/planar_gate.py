@@ -101,25 +101,26 @@ def _classify(n: int, wires_sorted):
     return head, mid, tail, rb_bits
 
 
-def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
-    """One block: (2, [2]*kh, RB, T) planes; full 2^k complex combination.
+def _block_machinery(kh: int, roll_info, rb: int):
+    """Per-block machinery shared by EVERY planar kernel body (forward,
+    grad reduction VPU/MXU, fused backward): bit vectors, head indexing,
+    XOR-roll partner versions, low-bit output masks, and the version<->
+    gate-bit order map.
 
-    roll_info: list of (axis, stride) per non-head wire in sorted-wire order
-    (axis 0 = sublane roll for mid wires, 1 = lane roll for tail wires).
-    koff = kh + len(roll_info) (total wire count's low part offset helper).
-    """
-    nv = 1 << len(roll_info)
-    KH = 1 << kh
-
+    roll_info: list of (axis, stride) per non-head wire in sorted-wire
+    order (axis 0 = sublane roll for mid wires, 1 = lane roll for tail).
+    Returns (h_index, versions, masks, vrev); masks[lo] is None when there
+    are no roll wires."""
+    from jax.experimental.pallas import tpu as pltpu
+    nr = len(roll_info)
+    nv = 1 << nr
     sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
-
     # 0/1 bit vector per roll wire (1 where that gate bit is set)
     bit_vecs = []
     for axis, stride in roll_info:
         ids = sub_id if axis == 0 else lane_id
-        shift = stride.bit_length() - 1
-        bit_vecs.append((ids >> shift) & 1)
+        bit_vecs.append((ids >> (stride.bit_length() - 1)) & 1)
 
     def h_index(h):
         # full block index for head combo h: plane is prepended by caller;
@@ -130,42 +131,44 @@ def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
         idx.append(0)
         return tuple(idx)
 
-    # load slices and build XOR versions via rolls
-    V = [[None] * KH for _ in range(2)]       # V[plane][headcombo] -> [nv blocks]
-    from jax.experimental.pallas import tpu as pltpu
-    for p in range(2):
-        for h in range(KH):
-            s0 = x_ref[(p,) + h_index(h)]     # (RB, T)
-            vs = [s0]
-            for bi, (axis, stride) in enumerate(roll_info):
-                mask = bit_vecs[bi].astype(jnp.bool_)
-                cur = len(vs)
-                size = rb if axis == 0 else _T
-                for vv in range(cur):
-                    v = vs[vv]
-                    fwd = pltpu.roll(v, stride, axis)
-                    bwd = pltpu.roll(v, size - stride, axis)   # = roll(-stride)
-                    vs.append(jnp.where(mask, fwd, bwd))
-            V[p][h] = vs
+    def versions(s0):
+        # XOR partner versions of an (RB, T) slice, LSB-first in roll_info
+        # order (bit=1 positions take roll(+s), bit=0 take roll(-s))
+        vs = [s0]
+        for bi, (axis, stride) in enumerate(roll_info):
+            mask = bit_vecs[bi].astype(jnp.bool_)
+            size = rb if axis == 0 else _T
+            cur = len(vs)
+            for vv in range(cur):
+                v = vs[vv]
+                vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
+                                    pltpu.roll(v, size - stride, axis)))
+        return vs
 
-    # 0/1 f32 masks for each low-bit output pattern
+    # 0/1 f32 mask per low-bit output pattern (None when no roll wires)
     masks = []
     for lo in range(nv):
         m = None
-        for bi in range(len(roll_info)):
-            want = (lo >> (len(roll_info) - 1 - bi)) & 1
+        for bi in range(nr):
+            want = (lo >> (nr - 1 - bi)) & 1
             mb = (bit_vecs[bi] == want)
             m = mb if m is None else jnp.logical_and(m, mb)
-        masks.append(jnp.ones((rb, _T), jnp.float32) if m is None
-                     else m.astype(jnp.float32))
-
-    nr = len(roll_info)
+        masks.append(None if m is None else m.astype(jnp.float32))
 
     def vrev(v):
         # version list is built LSB-first in roll_info order; gate low bits
         # are MSB-first (sorted-wire order) — map between the two
         return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
 
+    return h_index, versions, masks, vrev
+
+
+def _apply_combos(V, mre_ref, mim_ref, kh, nr, masks, vrev):
+    """Full 2^k complex combination of version-expanded slices V[plane][head]
+    against the SMEM matrix planes; returns outs[plane][head] blocks."""
+    KH = 1 << kh
+    nv = 1 << nr
+    outs = [[None] * KH for _ in range(2)]
     for a in range(KH):
         outr = None
         outi = None
@@ -192,8 +195,85 @@ def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
                 mi = masks[lo] * acci
                 outr = mr if outr is None else outr + mr
                 outi = mi if outi is None else outi + mi
-        y_ref[(0,) + h_index(a)] = outr
-        y_ref[(1,) + h_index(a)] = outi
+        outs[0][a] = outr
+        outs[1][a] = outi
+    return outs
+
+
+def _reduce_vpu(G, XV, part_ref, kh, nr, masks, vrev):
+    """Matrix-cotangent partials via scalar SMEM stores: G[p][a] is the raw
+    g slice, XV[p][b] the version list of the gate-INPUT slice.
+    part[0] = <g, x> combos (dmre), part[1] = (gi xr - gr xi) (dmim)."""
+    KH = 1 << kh
+    nv = 1 << nr
+    for a in range(KH):
+        for lo in range(nv):
+            i_out = (a << nr) | lo
+            gr = G[0][a]
+            gi = G[1][a]
+            if masks[lo] is not None:
+                gr = gr * masks[lo]
+                gi = gi * masks[lo]
+            for b in range(KH):
+                for li in range(nv):
+                    i_in = (b << nr) | li
+                    v = vrev(lo ^ li)
+                    xr = XV[0][b][v]
+                    xi = XV[1][b][v]
+                    part_ref[0, 0, i_out, i_in] = jnp.sum(gr * xr + gi * xi)
+                    part_ref[0, 1, i_out, i_in] = jnp.sum(gi * xr - gr * xi)
+
+
+def _reduce_mxu(G, XV, part_ref, kh, nr, masks):
+    """MXU variant of the cotangent reduction: stack all masked-g combos and
+    x versions once, contract the lane axis with the sublane axis batched
+    (Mosaic accepts a single contracting dim; sublanes reduce in a tiny VPU
+    epilogue). Output is in VERSION space — the caller gathers columns
+    through _version_perm outside the kernel (scalar scatters can't target
+    VMEM and the (K, K) tensor store requires VMEM)."""
+    KH = 1 << kh
+    nv = 1 << nr
+    G_all = [[], []]   # K rows of (rb, T): g slice a masked by lo
+    X_all = [[], []]   # K cols of (rb, T): version v of x slice b
+    for p in range(2):
+        for a in range(KH):
+            ga = G[p][a]
+            for lo in range(nv):
+                G_all[p].append(ga if masks[lo] is None else ga * masks[lo])
+        for b in range(KH):
+            X_all[p].extend(XV[p][b])
+    gr = jnp.stack(G_all[0], axis=1)   # (rb, K, T)
+    gi = jnp.stack(G_all[1], axis=1)
+    xr = jnp.stack(X_all[0], axis=1)
+    xi = jnp.stack(X_all[1], axis=1)
+    dn = (((2,), (2,)), ((0,), (0,)))
+    hp = jax.lax.Precision.HIGHEST
+    rr = jax.lax.dot_general(gr, xr, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ii = jax.lax.dot_general(gi, xi, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ir = jax.lax.dot_general(gi, xr, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    ri = jax.lax.dot_general(gr, xi, dn, precision=hp,
+                             preferred_element_type=jnp.float32)
+    part_ref[0, 0] = jnp.sum(rr + ii, axis=0)
+    part_ref[0, 1] = jnp.sum(ir - ri, axis=0)
+
+
+def _kernel_body(x_ref, mre_ref, mim_ref, y_ref, *, kh, roll_info, rb, koff):
+    """One block: (2, [2]*kh, RB, T) planes; full 2^k complex combination.
+
+    koff = kh + len(roll_info) (total wire count's low part offset helper).
+    """
+    KH = 1 << kh
+    nr = len(roll_info)
+    h_index, versions, masks, vrev = _block_machinery(kh, roll_info, rb)
+    V = [[versions(x_ref[(p,) + h_index(h)]) for h in range(KH)]
+         for p in range(2)]
+    outs = _apply_combos(V, mre_ref, mim_ref, kh, nr, masks, vrev)
+    for p in range(2):
+        for a in range(KH):
+            y_ref[(p,) + h_index(a)] = outs[p][a]
 
 
 def _geometry(n: int, ws, rb_bits_max: int = _RB_BITS_MAX):
@@ -203,19 +283,11 @@ def _geometry(n: int, ws, rb_bits_max: int = _RB_BITS_MAX):
 
     ``rb_bits_max`` lets two-state kernels (the fused backward) shrink the
     row block: VMEM is ~16 MB/core and y + g blocks at kh = 3, RB = 128 are
-    2 MB each before double buffering."""
+    2 MB each before double buffering. The smaller window cannot
+    reclassify wires for its only use (kh = 3 with k <= 3 means every wire
+    is already head, far above both windows), so only RB changes."""
     head, mid, tail, rb_bits = _classify(n, ws)
-    if rb_bits_max < _RB_BITS_MAX:
-        rb_bits = min(rb_bits, rb_bits_max)
-        head, mid = [], []
-        for w in ws:
-            b = n - 1 - w
-            if b < _T_BITS:
-                pass                        # tail unchanged
-            elif b < _T_BITS + rb_bits:
-                mid.append(w)
-            else:
-                head.append(w)
+    rb_bits = min(rb_bits, rb_bits_max)
     kh = len(head)
     rb = 1 << rb_bits
 
@@ -322,76 +394,19 @@ def _grad_kernel_body(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
     dmre = gr xr + gi xi, dmim = gi xr - gr xi (see _bwd). Combo slices of g
     are read in place; combo slices of x materialize through the same
     XOR-roll machinery as the forward kernel.
+
+    NOTE: Mosaic's tpu.matmul supports only a single contracting dim, so a
+    naive stacked dot_general fails to lower; _grad_kernel_body_mxu
+    (DQ_GRAD_MXU=1) works around it with a lane-contracting, sublane-batched
+    dot_general + VPU epilogue. This body is the scalar-store VPU default.
     """
-    from jax.experimental.pallas import tpu as pltpu
-    nv = 1 << len(roll_info)
     KH = 1 << kh
     nr = len(roll_info)
-
-    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
-    bit_vecs = []
-    for axis, stride in roll_info:
-        ids = sub_id if axis == 0 else lane_id
-        shift = stride.bit_length() - 1
-        bit_vecs.append((ids >> shift) & 1)
-
-    def h_index(h):
-        idx = []
-        for i in range(kh):
-            idx.extend([0, (h >> (kh - 1 - i)) & 1])
-        idx.append(0)
-        return tuple(idx)
-
-    # x combo versions (rolled); g slices read directly
-    VX = [[None] * KH for _ in range(2)]
-    G = [[None] * KH for _ in range(2)]
-    for p in range(2):
-        for h in range(KH):
-            G[p][h] = g_ref[(p,) + h_index(h)]
-            s0 = x_ref[(p,) + h_index(h)]
-            vs = [s0]
-            for bi, (axis, stride) in enumerate(roll_info):
-                mask = bit_vecs[bi].astype(jnp.bool_)
-                size = rb if axis == 0 else _T
-                cur = len(vs)
-                for vv in range(cur):
-                    v = vs[vv]
-                    vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
-                                        pltpu.roll(v, size - stride, axis)))
-            VX[p][h] = vs
-
-    masks = []
-    for lo in range(nv):
-        m = None
-        for bi in range(nr):
-            want = (lo >> (nr - 1 - bi)) & 1
-            mb = (bit_vecs[bi] == want)
-            m = mb if m is None else jnp.logical_and(m, mb)
-        masks.append(None if m is None else m.astype(jnp.float32))
-
-    def vrev(v):
-        return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
-
-    # NOTE: an MXU formulation (stack combos, one dot_general contracting the
-    # block dims) fails Mosaic lowering — tpu.matmul only supports a single
-    # contracting dimension — so the reduction stays on the VPU.
-    for a in range(KH):
-        for lo in range(nv):
-            i_out = (a << nr) | lo
-            gr = G[0][a]
-            gi = G[1][a]
-            if masks[lo] is not None:
-                gr = gr * masks[lo]
-                gi = gi * masks[lo]
-            for b in range(KH):
-                for li in range(nv):
-                    i_in = (b << nr) | li
-                    v = vrev(lo ^ li)
-                    xr = VX[0][b][v]
-                    xi = VX[1][b][v]
-                    out_ref[0, 0, i_out, i_in] = jnp.sum(gr * xr + gi * xi)
-                    out_ref[0, 1, i_out, i_in] = jnp.sum(gi * xr - gr * xi)
+    h_index, versions, masks, vrev = _block_machinery(kh, roll_info, rb)
+    G = [[g_ref[(p,) + h_index(h)] for h in range(KH)] for p in range(2)]
+    XV = [[versions(x_ref[(p,) + h_index(h)]) for h in range(KH)]
+          for p in range(2)]
+    _reduce_vpu(G, XV, out_ref, kh, nr, masks, vrev)
 
 
 def _grad_kernel_body_mxu(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
@@ -410,71 +425,13 @@ def _grad_kernel_body_mxu(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
     Enabled with DQ_GRAD_MXU=1; default stays VPU until the TPU measurement
     (prototype: ~8% faster at DEFAULT precision but 3e-3 error — bf16
     passes; HIGHEST restores accuracy)."""
-    from jax.experimental.pallas import tpu as pltpu
-    nv = 1 << len(roll_info)
     KH = 1 << kh
     nr = len(roll_info)
-
-    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
-    bit_vecs = []
-    for axis, stride in roll_info:
-        ids = sub_id if axis == 0 else lane_id
-        shift = stride.bit_length() - 1
-        bit_vecs.append((ids >> shift) & 1)
-
-    def h_index(h):
-        idx = []
-        for i in range(kh):
-            idx.extend([0, (h >> (kh - 1 - i)) & 1])
-        idx.append(0)
-        return tuple(idx)
-
-    masks = []
-    for lo in range(nv):
-        m = None
-        for bi in range(nr):
-            want = (lo >> (nr - 1 - bi)) & 1
-            mb = (bit_vecs[bi] == want)
-            m = mb if m is None else jnp.logical_and(m, mb)
-        masks.append(None if m is None else m.astype(jnp.float32))
-
-    G_all = [[], []]   # K rows of (rb, T): g slice a masked by lo
-    X_all = [[], []]   # K cols of (rb, T): version v of x slice b
-    for p in range(2):
-        for a in range(KH):
-            ga = g_ref[(p,) + h_index(a)]
-            for lo in range(nv):
-                G_all[p].append(ga if masks[lo] is None else ga * masks[lo])
-        for b in range(KH):
-            s0 = x_ref[(p,) + h_index(b)]
-            vs = [s0]
-            for bi, (axis, stride) in enumerate(roll_info):
-                mask = bit_vecs[bi].astype(jnp.bool_)
-                size = rb if axis == 0 else _T
-                cur = len(vs)
-                for vv in range(cur):
-                    v = vs[vv]
-                    vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
-                                        pltpu.roll(v, size - stride, axis)))
-            X_all[p].extend(vs)
-
-    gr = jnp.stack(G_all[0], axis=1)   # (rb, K, T)
-    gi = jnp.stack(G_all[1], axis=1)
-    xr = jnp.stack(X_all[0], axis=1)
-    xi = jnp.stack(X_all[1], axis=1)
-    dn = (((2,), (2,)), ((0,), (0,)))
-    hp = jax.lax.Precision.HIGHEST
-    rr = jax.lax.dot_general(gr, xr, dn, precision=hp,
-                             preferred_element_type=jnp.float32)
-    ii = jax.lax.dot_general(gi, xi, dn, precision=hp,
-                             preferred_element_type=jnp.float32)
-    ir = jax.lax.dot_general(gi, xr, dn, precision=hp,
-                             preferred_element_type=jnp.float32)
-    ri = jax.lax.dot_general(gr, xi, dn, precision=hp,
-                             preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.sum(rr + ii, axis=0)
-    out_ref[0, 1] = jnp.sum(ir - ri, axis=0)
+    h_index, versions, masks, _ = _block_machinery(kh, roll_info, rb)
+    G = [[g_ref[(p,) + h_index(h)] for h in range(KH)] for p in range(2)]
+    XV = [[versions(x_ref[(p,) + h_index(h)]) for h in range(KH)]
+          for p in range(2)]
+    _reduce_mxu(G, XV, out_ref, kh, nr, masks)
 
 
 @functools.lru_cache(maxsize=None)
@@ -595,137 +552,28 @@ def _bwd_fused_kernel_body(y_ref, g_ref, mre_ref, mim_ref,
     machinery (bit_vecs, masks, XOR partner selection) is computed once and
     shared by both applies and the reduction. mre/mim hold U^H planes in
     sorted-wire order."""
-    from jax.experimental.pallas import tpu as pltpu
-    nv = 1 << len(roll_info)
     KH = 1 << kh
     nr = len(roll_info)
-
-    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (rb, _T), 1)
-    bit_vecs = []
-    for axis, stride in roll_info:
-        ids = sub_id if axis == 0 else lane_id
-        shift = stride.bit_length() - 1
-        bit_vecs.append((ids >> shift) & 1)
-
-    def h_index(h):
-        idx = []
-        for i in range(kh):
-            idx.extend([0, (h >> (kh - 1 - i)) & 1])
-        idx.append(0)
-        return tuple(idx)
-
-    def versions(s0):
-        vs = [s0]
-        for bi, (axis, stride) in enumerate(roll_info):
-            mask = bit_vecs[bi].astype(jnp.bool_)
-            size = rb if axis == 0 else _T
-            cur = len(vs)
-            for vv in range(cur):
-                v = vs[vv]
-                vs.append(jnp.where(mask, pltpu.roll(v, stride, axis),
-                                    pltpu.roll(v, size - stride, axis)))
-        return vs
-
-    masks = []
-    for lo in range(nv):
-        m = None
-        for bi in range(nr):
-            want = (lo >> (nr - 1 - bi)) & 1
-            mb = (bit_vecs[bi] == want)
-            m = mb if m is None else jnp.logical_and(m, mb)
-        masks.append(None if m is None else m.astype(jnp.float32))
-
-    def vrev(v):
-        return sum((((v >> (nr - 1 - bi)) & 1) << bi) for bi in range(nr))
-
-    Y = [[versions(y_ref[(p,) + h_index(h)]) for h in range(KH)] for p in range(2)]
-    G = [[versions(g_ref[(p,) + h_index(h)]) for h in range(KH)] for p in range(2)]
-
-    def apply_mat(V):
-        outs = [[None] * KH for _ in range(2)]
-        for a in range(KH):
-            outr = None
-            outi = None
-            for lo in range(nv):
-                accr = None
-                acci = None
-                for b in range(KH):
-                    for li in range(nv):
-                        i_out = (a << nr) | lo
-                        i_in = (b << nr) | li
-                        v = vrev(lo ^ li)
-                        cr = mre_ref[i_out, i_in]
-                        ci = mim_ref[i_out, i_in]
-                        xr = V[0][b][v]
-                        xi = V[1][b][v]
-                        tr = xr * cr - xi * ci
-                        ti = xr * ci + xi * cr
-                        accr = tr if accr is None else accr + tr
-                        acci = ti if acci is None else acci + ti
-                if nv == 1:
-                    outr, outi = accr, acci
-                else:
-                    mr = masks[lo] * accr
-                    mi = masks[lo] * acci
-                    outr = mr if outr is None else outr + mr
-                    outi = mi if outi is None else outi + mi
-            outs[0][a] = outr
-            outs[1][a] = outi
-        return outs
-
-    X = apply_mat(Y)
-    GO = apply_mat(G)
+    h_index, versions, masks, vrev = _block_machinery(kh, roll_info, rb)
+    Y = [[versions(y_ref[(p,) + h_index(h)]) for h in range(KH)]
+         for p in range(2)]
+    G = [[versions(g_ref[(p,) + h_index(h)]) for h in range(KH)]
+         for p in range(2)]
+    X = _apply_combos(Y, mre_ref, mim_ref, kh, nr, masks, vrev)
+    GO = _apply_combos(G, mre_ref, mim_ref, kh, nr, masks, vrev)
     for p in range(2):
         for a in range(KH):
             x_ref[(p,) + h_index(a)] = X[p][a]
             gout_ref[(p,) + h_index(a)] = GO[p][a]
 
+    # cotangent reduction: raw g slices (version 0) against versions of the
+    # freshly-recovered gate INPUT x
+    G0 = [[G[p][h][0] for h in range(KH)] for p in range(2)]
     XV = [[versions(X[p][h]) for h in range(KH)] for p in range(2)]
-
     if use_mxu:
-        G_all = [[], []]
-        X_all = [[], []]
-        for p in range(2):
-            for a in range(KH):
-                ga = G[p][a][0]
-                for lo in range(nv):
-                    G_all[p].append(ga if masks[lo] is None else ga * masks[lo])
-            for b in range(KH):
-                X_all[p].extend(XV[p][b])
-        gr = jnp.stack(G_all[0], axis=1)
-        gi = jnp.stack(G_all[1], axis=1)
-        xr = jnp.stack(X_all[0], axis=1)
-        xi = jnp.stack(X_all[1], axis=1)
-        dn = (((2,), (2,)), ((0,), (0,)))
-        hp = jax.lax.Precision.HIGHEST
-        rr = jax.lax.dot_general(gr, xr, dn, precision=hp,
-                                 preferred_element_type=jnp.float32)
-        ii = jax.lax.dot_general(gi, xi, dn, precision=hp,
-                                 preferred_element_type=jnp.float32)
-        ir = jax.lax.dot_general(gi, xr, dn, precision=hp,
-                                 preferred_element_type=jnp.float32)
-        ri = jax.lax.dot_general(gr, xi, dn, precision=hp,
-                                 preferred_element_type=jnp.float32)
-        part_ref[0, 0] = jnp.sum(rr + ii, axis=0)
-        part_ref[0, 1] = jnp.sum(ir - ri, axis=0)
+        _reduce_mxu(G0, XV, part_ref, kh, nr, masks)
     else:
-        for a in range(KH):
-            for lo in range(nv):
-                i_out = (a << nr) | lo
-                gr = G[0][a][0]
-                gi = G[1][a][0]
-                if masks[lo] is not None:
-                    gr = gr * masks[lo]
-                    gi = gi * masks[lo]
-                for b in range(KH):
-                    for li in range(nv):
-                        i_in = (b << nr) | li
-                        v = vrev(lo ^ li)
-                        xr = XV[0][b][v]
-                        xi = XV[1][b][v]
-                        part_ref[0, 0, i_out, i_in] = jnp.sum(gr * xr + gi * xi)
-                        part_ref[0, 1, i_out, i_in] = jnp.sum(gi * xr - gr * xi)
+        _reduce_vpu(G0, XV, part_ref, kh, nr, masks, vrev)
 
 
 def _use_fused_bwd() -> bool:

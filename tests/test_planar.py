@@ -188,20 +188,35 @@ def test_planar_fused_backward_matches_unfused(mxu, c64):
     rng = np.random.default_rng(9)
     data = jnp.asarray(rng.random(n), jnp.float32)
     datab = jnp.asarray(rng.random((B, n)), jnp.float32)
-    cir = build()
-    p = cir.params
+    p = build().params
 
     def grads():
+        # a FRESH circuit per call: the env flag is read at trace time, and
+        # a shared circuit's cached grad trace would silently reuse the
+        # previous engine (this test was once vacuous exactly that way)
+        cir = build()
         g1 = jax.grad(lambda q: cir.expectation(data=data, params=q)[0])(p)
         gb = jax.grad(lambda q: jnp.sum(cir.expectation(data=datab, params=q)))(p)
         return np.asarray(g1), np.asarray(gb)
 
+    from deepquantum_tpu.ops import planar_gate as pg
+    calls = {'n': 0}
+    orig = pg._planar_bwd_fused
+
+    def counting(*a, **kw):
+        calls['n'] += 1
+        return orig(*a, **kw)
+
     os.environ['DQ_GRAD_MXU'] = mxu
+    pg._planar_bwd_fused = counting
     try:
         g_ref, gb_ref = grads()
+        assert calls['n'] == 0
         os.environ['DQ_FUSED_BWD'] = '1'
         g_fused, gb_fused = grads()
+        assert calls['n'] > 0, 'fused path never engaged'
     finally:
+        pg._planar_bwd_fused = orig
         os.environ.pop('DQ_FUSED_BWD', None)
         os.environ.pop('DQ_GRAD_MXU', None)
     np.testing.assert_allclose(g_fused, g_ref, atol=1e-6)
@@ -215,7 +230,12 @@ def test_planar_fused_backward_shardmap(c64):
     from deepquantum_tpu.parallel import make_mesh
     from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
 
-    n = 6
+    from deepquantum_tpu.ops import planar_gate as pg
+
+    # n=12 on a 4-device mesh gives nlocal=10, the kernel's minimum — an
+    # 8-device mesh would leave nlocal < 10 and silently test only the
+    # 3-op fallback
+    n = 12
     cir = dq.QubitCircuit(n)
     for i in range(n):
         cir.ry(i)
@@ -225,13 +245,23 @@ def test_planar_fused_backward_shardmap(c64):
     p = cir.params
     g_local = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
 
+    calls = {'n': 0}
+    orig = pg._planar_bwd_fused
+
+    def counting(*a, **kw):
+        calls['n'] += 1
+        return orig(*a, **kw)
+
     os.environ['DQ_FUSED_BWD'] = '1'
+    pg._planar_bwd_fused = counting
     try:
-        sim = ShardMapSimulator(n, make_mesh(8), planar=True)
+        sim = ShardMapSimulator(n, make_mesh(4), planar=True)
         g_mesh = np.asarray(jax.grad(
             lambda q: sim.expectation(cir, params=q)[0])(p))
     finally:
+        pg._planar_bwd_fused = orig
         os.environ.pop('DQ_FUSED_BWD', None)
+    assert calls['n'] > 0, 'fused path never engaged on the mesh'
     np.testing.assert_allclose(g_mesh, g_local, atol=1e-5)
 
 
