@@ -101,6 +101,27 @@ def _eager() -> bool:
         return True
 
 
+_PAULI_NP = {'x': np.array([[0, 1], [1, 0]], np.complex64),
+             'y': np.array([[0, -1j], [1j, 0]], np.complex64),
+             'z': np.array([[1, 0], [0, -1]], np.complex64)}
+
+
+def _pauli_obs_blocks(obs):
+    """Compile a Pauli-string observable into <=3-wire constant blocks for
+    the planar engine: [(np (2^k, 2^k) complex64, sorted wire tuple), ...].
+    Shared by the single-state and batched expectation paths — keep them in
+    lockstep."""
+    pairs = sorted((w[0], b) for w, b in zip(obs.wires, obs.basis))
+    blocks = []
+    for i in range(0, len(pairs), 3):
+        chunk = pairs[i:i + 3]
+        mat = np.array([[1]], np.complex64)
+        for _, b in chunk:
+            mat = np.kron(mat, _PAULI_NP[b])
+        blocks.append((mat, tuple(w for w, _ in chunk)))
+    return blocks
+
+
 def _symbolic_init_state(nqubit: int, kind: str, den_mat: bool):
     """Traced construction of the string init states (no dense constants)."""
     dim = 2 ** nqubit
@@ -942,22 +963,14 @@ class QubitCircuit:
                 # bwd = one elementwise pass (2*Px) — no complex einsums
                 from .ops.planar_gate import planar_pauli_expectation, to_planar
                 interp = jax.default_backend() != 'tpu'
-                pauli_np = {'x': np.array([[0, 1], [1, 0]], np.complex64),
-                            'y': np.array([[0, -1j], [1j, 0]], np.complex64),
-                            'z': np.array([[1, 0], [0, -1]], np.complex64)}
                 xp = to_planar(s)
                 vals = []
                 for obs in self.observables:
-                    pairs = sorted((w[0], b) for w, b in zip(obs.wires, obs.basis))
                     mres, mims, wseq = [], [], []
-                    for i in range(0, len(pairs), 3):
-                        chunk = pairs[i:i + 3]
-                        mat = np.array([[1]], np.complex64)
-                        for _, b in chunk:
-                            mat = np.kron(mat, pauli_np[b])
+                    for mat, wires in _pauli_obs_blocks(obs):
                         mres.append(jnp.asarray(mat.real, jnp.float32))
                         mims.append(jnp.asarray(mat.imag, jnp.float32))
-                        wseq.append(tuple(w for w, _ in chunk))
+                        wseq.append(wires)
                     vals.append(planar_pauli_expectation(
                         xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
             else:
@@ -975,26 +988,18 @@ class QubitCircuit:
                 from .ops.planar_gate import (planar_pauli_expectation,
                                               to_planar_batched)
                 interp = jax.default_backend() != 'tpu'
-                pauli_np = {'x': np.array([[0, 1], [1, 0]], np.complex64),
-                            'y': np.array([[0, -1j], [1j, 0]], np.complex64),
-                            'z': np.array([[1, 0], [0, -1]], np.complex64)}
                 bsz = states.shape[0]
                 xp = to_planar_batched(states.reshape(bsz, -1))
                 vals = []
                 for obs in self.observables:
-                    pairs = sorted((w[0], b) for w, b in zip(obs.wires, obs.basis))
                     mres, mims, wseq = [], [], []
-                    for i in range(0, len(pairs), 3):
-                        chunk = pairs[i:i + 3]
-                        mat = np.array([[1]], np.complex64)
-                        for _, b in chunk:
-                            mat = np.kron(mat, pauli_np[b])
+                    for mat, wires in _pauli_obs_blocks(obs):
                         kk = mat.shape[0]
                         mres.append(jnp.broadcast_to(
                             jnp.asarray(mat.real, jnp.float32), (bsz, kk, kk)))
                         mims.append(jnp.broadcast_to(
                             jnp.asarray(mat.imag, jnp.float32), (bsz, kk, kk)))
-                        wseq.append(tuple(w for w, _ in chunk))
+                        wseq.append(wires)
                     vals.append(planar_pauli_expectation(
                         xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
                 return jnp.stack(vals, axis=-1)

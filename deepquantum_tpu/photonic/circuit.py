@@ -342,6 +342,9 @@ class QumodeCircuit:
             offset = len(self._pvals)
             self._pvals.extend(op._pvals)
             self._train_mask.extend(op._train_mask)
+            # the sub-circuit's per-forward-noise slots keep jittering after
+            # composition (reference: noise lives on the gate objects)
+            self._noise_pidx.extend(i + offset for i in op._noise_pidx)
             for g in op.operators:
                 g2 = _copy.copy(g)
                 g2.pidx = tuple(i + offset for i in g.pidx)
@@ -393,10 +396,10 @@ class QumodeCircuit:
         self._basis_table = None
 
     # ----------------------------------------------------------- global ops
-    def get_unitary(self, params=None, data=None) -> jnp.ndarray:
+    def get_unitary(self, params=None, data=None, jitter=None) -> jnp.ndarray:
         """Global nmode x nmode creation-op unitary (reference circuit.py:868)."""
         didx = None if data is None else self._data_indices(np.shape(data)[-1])
-        full = self._full_params(params, data, didx)
+        full = self._full_params(params, data, didx, jitter)
         return self._get_unitary_traced(full)
 
     def _get_unitary_traced(self, full) -> jnp.ndarray:
@@ -613,10 +616,10 @@ class QumodeCircuit:
             return self.state
         out_basis = self._output_basis(in_state)
         self._basis_table = out_basis
-        amps = self._fock_basis_amps(data, in_state, out_basis, params, jitter)
         if is_prob is None:
-            self.state = self.get_unitary(params, data)
+            self.state = self.get_unitary(params, data, jitter)
             return self.state
+        amps = self._fock_basis_amps(data, in_state, out_basis, params, jitter)
         if is_prob:
             vals = jnp.abs(amps) ** 2 if amps.ndim == 1 else jnp.abs(amps) ** 2
         else:

@@ -65,7 +65,11 @@ def _prob_one_state(final_state, a_mat, o_mat, gamma, p_vac, detector, purity, l
         prob = p_vac * haf / norm
     else:  # threshold
         sub_mat = o_mat[np.ix_(idx_double, idx_double)]
-        sub_gamma = gamma[idx_double]
+        # undisplaced states (loop=False, a STATIC host-side fact) take the
+        # click-probability torontonian — gamma=None reaches the cheaper
+        # df32 path (a zero gamma array would route to the displaced df32
+        # variant and pay the augmented-rhs solve for nothing)
+        sub_gamma = gamma[idx_double] if loop else None
         prob = p_vac * torontonian(sub_mat, sub_gamma)
     return jnp.abs(jnp.real(prob))
 

@@ -90,11 +90,21 @@ def _subset_coeff_df32(sub_re, sub_im, m: int, loop: bool):
         pw = _cdf_matmul(pw, xa)
         return (pw, u), t
 
-    _, terms = jax.lax.scan(step, (xa, u0), (ch, cl))
+    # scan only m-1 advance steps: the m-th matmul (pw = xa^m's advance,
+    # and u's) would be dead work — its trace is taken from the carry
+    (pw_f, u_f), terms = jax.lax.scan(step, (xa, u0), (ch[:m - 1], cl[:m - 1]))
+    from ..ops.df32 import df_mul as _df_mul
+    tr = _cdf_trace(pw_f)
+    last = (_df_mul(tr[0][0], tr[0][1], ch[m - 1], cl[m - 1]),
+            _df_mul(tr[1][0], tr[1][1], ch[m - 1], cl[m - 1]))
+    if loop:
+        dot = _cdf_matmul(u_f, xv)
+        dot = tuple(tuple(x[..., 0, 0] for x in comp) for comp in dot)
+        last = _cdf_add(last, dot)
     # power-series exponential recurrence on the m stacked df32 traces;
     # O(m^2) scalar df ops, unrolled (m <= ~14)
     term_list = [tuple(tuple(x[j] for x in comp) for comp in terms)
-                 for j in range(m)]
+                 for j in range(m - 1)] + [last]
     one = _cdf_lift(jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32))
     e = [one]
     for k in range(1, m + 1):
@@ -144,9 +154,7 @@ def _hafnian_df32(matrix, loop: bool):
     coeffs = jax.vmap(lambda r, i: _subset_coeff_df32(r, i, m, loop))(
         sub_re, sub_im)
     signed = tuple(tuple(x * sign for x in comp) for comp in coeffs)
-    total = _cdf_reduce0(signed)
-    return jax.lax.complex(total[0][0] + total[0][1],
-                           total[1][0] + total[1][1]).astype(jnp.complex64)
+    return _cdf_to_complex(_cdf_reduce0(signed))
 
 
 @_hafnian_df32.defjvp

@@ -151,18 +151,21 @@ class UnitaryMapper:
         (reference mapper.py:304)."""
         return self._solve(total_trials, precision, complex_u=True)
 
-    def _cache_key(self, complex_u: bool) -> str:
+    def _cache_key(self, complex_u: bool, total_trials: int) -> str:
+        # total_trials is part of the key: a run cached with fewer random
+        # restarts must not short-circuit a later request for more
         h = hashlib.sha256()
         h.update(np.ascontiguousarray(self.ugate).tobytes())
         h.update(repr((self.nqubit, self.nmode, self.success, self.aux,
-                       self.aux_position, complex_u)).encode())
+                       self.aux_position, complex_u, total_trials)).encode())
         return h.hexdigest()[:24]
 
     def _solve(self, total_trials, precision, complex_u):
         m = self.nmode
         # disk result cache (the role the reference's shipped index tensors
         # play): repeat solves of the same gate/mode/aux instance are free
-        path = os.path.join(_cache_dir(), f'{self._cache_key(complex_u)}.npz')
+        path = os.path.join(_cache_dir(),
+                            f'{self._cache_key(complex_u, total_trials)}.npz')
         if os.path.exists(path):
             try:
                 sols = np.load(path)['solutions']

@@ -477,8 +477,11 @@ def test_noise_per_forward_matches_reference_statistics():
 
     # statistics match the reference's noisy forward distribution
     # (cov entries are heavy-tailed in e^{2r}; compare stds at 15% with
-    # 1000 draws each)
+    # 1000 draws each); both RNGs seeded — two independent std estimates of
+    # a heavy-tailed quantity occasionally exceeded 15% and flaked the suite
     rng_draws = 1000
+    np.random.seed(123)
+    torch.manual_seed(123)
     ours = np.stack([np.asarray(cir()[0]).reshape(4, 4) for _ in range(rng_draws)])
     ref_cir = ref_dq.QumodeCircuit(nmode=2, init_state='vac', backend='gaussian',
                                    noise=True, mu=0.0, sigma=sigma)
