@@ -116,13 +116,15 @@ def _subset_coeff_df32(sub_re, sub_im, m: int, loop: bool):
     return e[m]
 
 
-@lru_cache(maxsize=None)
-def _padded_subset_indices(m: int):
-    """Interleaved row indices for EVERY nonempty subset of the m mode
-    pairs, zero-padded to a common length 2m, plus the (2m, 2m) validity
-    mask and the inclusion-exclusion sign of each subset. Padding with
-    zeroed rows/cols keeps trace powers exact, so one vmapped body covers
-    all subset sizes (per-size bodies made compile time explode)."""
+def padded_powerset_indices(m: int, rows_builder):
+    """Shared powerset scaffold for the df32 hafnian AND torontonian: row
+    indices for EVERY nonempty subset of m modes, zero-padded to a common
+    length 2m, plus the (2m, 1) validity column mask and the
+    inclusion-exclusion sign of each subset. One vmapped fixed-shape body
+    then covers all subset sizes (per-size bodies made compile time
+    explode). ``rows_builder(pair_sets, k)`` maps a (S_k, k) array of mode
+    subsets to their (S_k, 2k) matrix row indices — interleaved (2p, 2p+1)
+    for the hafnian, sorted (y, y+m) for the torontonian."""
     subsets = subset_index_groups(m)
     count = (1 << m) - 1
     idx = np.zeros((count, 2 * m), np.int64)
@@ -130,14 +132,22 @@ def _padded_subset_indices(m: int):
     mask = np.zeros((count, 2 * m, 1), np.float32)
     s = 0
     for k, pair_sets in subsets.items():
-        rows = np.stack([2 * pair_sets, 2 * pair_sets + 1], axis=2).reshape(
-            len(pair_sets), 2 * k)
+        rows = rows_builder(pair_sets, k)
         e = s + len(rows)
         idx[s:e, :2 * k] = rows
         sign[s:e] = 1.0 if (m - k) % 2 == 0 else -1.0
         mask[s:e, :2 * k] = 1.0
         s = e
     return idx, mask, sign
+
+
+@lru_cache(maxsize=None)
+def _padded_subset_indices(m: int):
+    """Interleaved (2p, 2p+1) rows per subset; zeroed padding keeps the
+    hafnian trace powers exact."""
+    return padded_powerset_indices(
+        m, lambda pair_sets, k: np.stack(
+            [2 * pair_sets, 2 * pair_sets + 1], axis=2).reshape(len(pair_sets), 2 * k))
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(1,))

@@ -73,24 +73,14 @@ def _torontonian_plain(o_mat, gamma) -> jnp.ndarray:
 # ------------------------------------------------------------- df32 path
 @lru_cache(maxsize=None)
 def _padded_tor_indices(m: int):
-    """Sorted (y, y+m) row indices for every nonempty mode subset, padded to
-    a common length 2m, plus the validity column mask and the
-    inclusion-exclusion sign. Padded rows/cols are filled with identity
-    (det unchanged), so one vmapped fixed-shape LDL^T covers the powerset."""
-    subsets = subset_index_groups(m)
-    count = (1 << m) - 1
-    idx = np.zeros((count, 2 * m), np.int64)
-    sign = np.zeros(count, np.float32)
-    valid = np.zeros((count, 2 * m, 1), np.float32)
-    s = 0
-    for k, y_sets in subsets.items():
-        rows = np.sort(np.concatenate([y_sets, y_sets + m], axis=1), axis=1)
-        e = s + len(rows)
-        idx[s:e, :2 * k] = rows
-        sign[s:e] = 1.0 if (m - k) % 2 == 0 else -1.0
-        valid[s:e, :2 * k] = 1.0
-        s = e
-    return idx, valid, sign
+    """Sorted (y, y+m) row indices per subset via the shared powerset
+    scaffold (hafnian_.py::padded_powerset_indices). Padded rows/cols are
+    filled with identity (det unchanged), so one vmapped fixed-shape LDL^T
+    covers the powerset."""
+    from .hafnian_ import padded_powerset_indices
+    return padded_powerset_indices(
+        m, lambda y_sets, k: np.sort(
+            np.concatenate([y_sets, y_sets + m], axis=1), axis=1))
 
 
 def _cdf_ldl_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
