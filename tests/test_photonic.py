@@ -373,6 +373,52 @@ def test_df32_transcendentals():
     assert (np.abs(got - np.exp(z)) / np.abs(np.exp(z))).max() < 1e-12
 
 
+def test_hafnian_df32_loop_accuracy():
+    """The c64 df32 LOOP hafnian (diagonal v-terms threaded through the
+    power-trace scan) against a host f64 oracle — the plain/click variant
+    is covered by the x64 reference tests; this pins the displaced path at
+    the c64 policy."""
+    from deepquantum_tpu.photonic.hafnian_ import hafnian
+
+    def host_loop_hafnian(a):
+        import itertools as it
+        n = a.shape[0]
+        m = n // 2
+        total = 0.0 + 0.0j
+        for r in range(1, m + 1):
+            for sub in it.combinations(range(m), r):
+                idx = np.array([(2 * p, 2 * p + 1) for p in sub]).reshape(-1)
+                az = a[np.ix_(idx, idx)]
+                xaz = np.copy(az)
+                xaz[0::2], xaz[1::2] = az[1::2], az[0::2]
+                v = np.diagonal(az)
+                xv = np.copy(v)
+                xv[0::2], xv[1::2] = v[1::2], v[0::2]
+                xv = xv / 2
+                u = v
+                p = np.zeros(m, np.complex128)
+                mat = np.eye(2 * r, dtype=np.complex128)
+                for j in range(1, m + 1):
+                    mat = mat @ xaz
+                    p[j - 1] = np.trace(mat) / (2 * j) + u @ xv
+                    u = u @ xaz
+                e = np.zeros(m + 1, np.complex128)
+                e[0] = 1
+                for k in range(1, m + 1):
+                    e[k] = sum(j * p[j - 1] * e[k - j] for j in range(1, k + 1)) / k
+                total += (-1.0) ** (m - r) * e[m]
+        return complex(total)
+
+    rng = np.random.default_rng(4)
+    for n in (6, 8):
+        z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        a = (z + z.T).astype(np.complex64).astype(np.complex128)
+        got = complex(np.asarray(jax.jit(lambda x: hafnian(x, loop=True))(
+            jnp.asarray(a, jnp.complex64))))
+        ref = host_loop_hafnian(a)
+        assert abs(got - ref) / abs(ref) < 1e-6, (n, abs(got - ref) / abs(ref))
+
+
 def test_torontonian_df32_click_and_loop():
     """The c64 df32 torontonian (click and displaced paths) against a host
     f64 oracle on a cancellation-heavy instance (amplification ~2e4): plain
