@@ -94,11 +94,14 @@ def test_planar_disabled_paths(c64):
     assert not dq.QubitCircuit(12)._planar_ok()                 # x64 policy
 
 
-def test_planar_density_matrix_with_channels(c64):
+@pytest.mark.parametrize('fused', ['0', '1'])
+def test_planar_density_matrix_with_channels(fused, c64):
     """Density-matrix circuits ride the planar kernel: rho is a 2n-qubit
     planar state (U on wires, conj(U) on wires + n, one chain); Kraus
     channels flush the chain and run dense. State, expectation, and
-    gradients match the den-mat einsum engine."""
+    gradients match the den-mat einsum engine — with both the 3-launch
+    and the fused single-launch backward."""
+    os.environ['DQ_FUSED_BWD'] = fused
     n = 6
 
     def build():
@@ -124,6 +127,7 @@ def test_planar_density_matrix_with_channels(c64):
         lambda q: cir.expectation(params=q)[0]))(p))
 
     os.environ['DQ_PLANAR'] = '0'
+    os.environ.pop('DQ_FUSED_BWD', None)
     cir2 = build()
     assert not cir2._planar_ok()
     rho_r = np.asarray(cir2(params=p))
