@@ -760,6 +760,60 @@ class QubitCircuit:
         p = flush(p)
         return from_planar(p).reshape([2] * nn)
 
+    def _sim_planar_dm_batched(self, fulls: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
+        """Batched density-matrix circuits on the planar kernel: the batch is
+        a KERNEL GRID axis (like _sim_planar_batched), each unitary applies
+        per-sample (B, K, K) planes on the row wires and their conjugates on
+        the column wires, and channels flush the chain through a vmapped
+        dense Kraus step. states: (B, 4^n) complex; returns (B, 4^n)."""
+        from .ops.apply import controlled_matrix
+        from .ops.planar_gate import (_sorted_mat_planes, from_planar,
+                                      planar_chain, to_planar_batched)
+        n = self.nqubit
+        nn = 2 * n
+        interp = jax.default_backend() != 'tpu'
+        bsz = states.shape[0]
+        p = to_planar_batched(states)
+        mres: list = []
+        mims: list = []
+        wseq: list = []
+
+        def flush(p):
+            if mres:
+                p = planar_chain(p, tuple(mres), tuple(mims), nn, tuple(wseq),
+                                 interp)
+                mres.clear()
+                mims.clear()
+                wseq.clear()
+            return p
+
+        for entry in self._fused_plan():
+            if entry[0] == 'op' and entry[1].kind == 'channel':
+                op = entry[1]
+                p = flush(p)
+                rho = from_planar(p).reshape((bsz,) + (2,) * nn)
+                rho = jax.vmap(lambda fp, r: self._apply_op(op, fp, r))(fulls, rho)
+                p = to_planar_batched(rho.reshape(bsz, -1))
+                continue
+            if entry[0] == 'op':
+                op = entry[1]
+                wires = list(op.controls) + list(op.wires)
+                mats = jax.vmap(lambda fp: controlled_matrix(
+                    jnp.asarray(op.matrix(fp), cdtype()), len(op.controls)))(fulls)
+            else:
+                wires = list(entry[2])
+                mats = jax.vmap(lambda fp: self._fused_matrix(entry, fp)[0])(fulls)
+            mre, mim = _sorted_mat_planes(mats, wires)
+            cre, cim = _sorted_mat_planes(jnp.conj(mats), wires)
+            mres.append(mre)
+            mims.append(mim)
+            wseq.append(tuple(sorted(wires)))
+            mres.append(cre)
+            mims.append(cim)
+            wseq.append(tuple(sorted(w + n for w in wires)))
+        p = flush(p)
+        return from_planar(p)
+
     def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
         n = self.nqubit
@@ -860,16 +914,20 @@ class QubitCircuit:
                     return self._run_flat(full, s)
                 if data_.ndim == 1:
                     return one(data_, state_)
-                if self._planar_ok() and not self.den_mat:
+                if self._planar_ok():
                     # batched planar path: the batch rides the kernel grid
                     fulls = jax.vmap(lambda d: self._full_params(
                         params_, d, data_idx))(data_)
-                    dim = 2 ** self.nqubit
+                    dim = 4 ** self.nqubit if self.den_mat else 2 ** self.nqubit
                     if single:
                         states = jnp.broadcast_to(state_.reshape(-1)[None, :],
                                                   (data_.shape[0], dim))
                     else:
                         states = state_.reshape(data_.shape[0], dim)
+                    if self.den_mat:
+                        out = self._sim_planar_dm_batched(fulls, states)
+                        half = 2 ** self.nqubit
+                        return out.reshape(data_.shape[0], half, half)
                     out = self._sim_planar_batched(fulls, states)
                     return out.reshape(data_.shape[0], dim, 1)
                 in_axes = (0, None) if single else (0, 0)

@@ -141,6 +141,51 @@ def test_planar_density_matrix_with_channels(fused, c64):
     np.testing.assert_allclose(g_p, g_r, atol=1e-5)
 
 
+def test_planar_density_matrix_batched(c64):
+    """Batched noisy den-mat QML rides the planar kernel as a grid axis
+    (per-sample matrix planes on row wires + conjugates on column wires;
+    channels flush through a vmapped Kraus step): forward states,
+    expectations, and parameter gradients match the vmapped einsum
+    fallback."""
+    n, B = 6, 3
+    rng = np.random.default_rng(11)
+
+    def build():
+        cir = dq.QubitCircuit(n, den_mat=True)
+        for i in range(n):
+            cir.ry(i, encode=True)
+        for i in range(n):
+            cir.rz(i)
+        cir.cnot_ring()
+        cir.depolarizing(0, inputs=0.02)
+        for i in range(n):
+            cir.rx(i)
+        cir.observable(0)
+        cir.observable([1, 2], basis='xz')
+        return cir
+
+    cir = build()
+    data = jnp.asarray(rng.random((B, n)), jnp.float32)
+    p = cir.params
+    rho_p = np.asarray(cir.forward(data=data, params=p))
+    assert rho_p.shape == (B, 1 << n, 1 << n)
+    e_p = np.asarray(cir.expectation())
+    g_p = np.asarray(jax.jit(jax.grad(
+        lambda q: jnp.sum(cir.expectation(data=data, params=q))))(p))
+
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = build()
+    rho_r = np.asarray(cir2.forward(data=data, params=p))
+    e_r = np.asarray(cir2.expectation())
+    g_r = np.asarray(jax.jit(jax.grad(
+        lambda q: jnp.sum(cir2.expectation(data=data, params=q))))(p))
+    os.environ['DQ_PLANAR'] = '1'
+
+    np.testing.assert_allclose(rho_p, rho_r, atol=1e-6)
+    np.testing.assert_allclose(e_p, e_r, atol=1e-6)
+    np.testing.assert_allclose(g_p, g_r, atol=1e-5)
+
+
 def test_planar_shardmap_engine(c64):
     """Planar mode of the Alg.6-10 shard_map engine (pair exchanges move f32
     planes; local groups hit the Pallas kernel when nlocal >= 10) against
