@@ -8,15 +8,17 @@ the benchmark covariances the final value is ~1e5-1e7x smaller than the
 individual 1/sqrt(det) terms, so plain complex64 loses everything (measured
 rel err 0.75 at 2n=12). Under the complex64 policy BOTH paths therefore run
 fully in df32 (ops/df32.py, ~2^-48 per op): every determinant through a
-pivot-free LDL^T over identity-padded subsets — one vmapped fixed-shape body
-for the whole powerset — with I - O_Z formed by an exact two_sum (a plain
-f32 subtraction rounds the diagonal at 2^-24, which was the measured
-accuracy floor of the whole function), and the alternating sum reduced in
-df32. The displaced (loop) variant forward-eliminates gamma_Z as augmented
-rhs columns of the same LDL pass (w = L^{-1} b, quadratic form w^T D^{-1} w)
-and exponentiates with the df32 cdf_exp, holding ~1e-8 where plain c64
-returned 3e-3. The reference leans on torch float64 for the same cancellation
-reason; TPUs have no f64, df32 is the native answer.
+pivot-free Gauss-Jordan LU over identity-padded subsets — one vmapped
+fixed-shape body for the whole powerset, with multipliers taken from the
+pivot COLUMN because the circuit's threshold o_mat is NOT symmetric — and
+I - O_Z formed by an exact two_sum (a plain f32 subtraction rounds the
+diagonal at 2^-24, which was the measured accuracy floor of the whole
+function), with the alternating sum reduced in df32. The displaced (loop)
+variant carries conj(gamma_Z) as an augmented rhs of the same pass (full
+Jordan elimination leaves d_k x_k per row) and exponentiates with the df32
+cdf_exp, holding ~1e-8 where plain c64 returned 3e-3. The reference leans
+on torch float64 for the same cancellation reason; TPUs have no f64, df32
+is the native answer.
 """
 
 from __future__ import annotations
@@ -83,18 +85,21 @@ def _padded_tor_indices(m: int):
             np.concatenate([y_sets, y_sets + m], axis=1), axis=1))
 
 
-def _cdf_ldl_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
-    """Determinants of a batch of complex symmetric matrices (S, p, p) via
-    pivot-free LDL^T in df32. Physical cov_q_inv matrices are complex
-    symmetric with spectra bounded away from zero (Q is positive definite),
-    so pivoting is unnecessary; a singular input yields inf/nan exactly as
-    the reference's det would.
+def _cdf_lu_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
+    """Determinants of a batch of GENERAL complex matrices (S, p, p) via
+    pivot-free LU elimination in df32 (multipliers from the current pivot
+    COLUMN — an earlier LDL^T variant took them from the row, which is only
+    valid for complex SYMMETRIC inputs; the circuit's own threshold o_mat
+    is NOT symmetric and every >= 3-click probability silently came out
+    up to ~10x wrong). cov_q_inv spectra are bounded away from zero (Q is
+    positive definite), so pivoting is unnecessary; a singular input yields
+    inf/nan exactly as the reference's det would.
 
-    With ``nrhs`` > 0 the input is augmented (S, p, p + nrhs) and the rhs
-    columns are forward-eliminated alongside (w = L^{-1} b, the row
-    operations of the same scan), so quadratic forms b1^T A^{-1} b2 =
-    sum_j w1_j w2_j / d_j come out of ONE factorization pass — used by the
-    displaced (loop) torontonian. Returns (det, w, ds) in that case.
+    With ``nrhs`` > 0 the input is augmented (S, p, p + nrhs); the full
+    Gauss-Jordan elimination leaves each rhs row as d_k x_k with
+    x = A^{-1} b, so quadratic forms come out as sum_k b1_k rhs_k / d_k in
+    ONE pass — used by the displaced (loop) torontonian. Returns
+    (det, w, ds) in that case.
 
     ``a_re_lo``: optional low plane of the real part. The diagonal of
     I - O_Z rounds at 2^-24 when formed in plain f32 (1 - x is only exact
@@ -105,22 +110,26 @@ def _cdf_ldl_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
     if a_re_lo is not None:
         a = ((a[0][0], a_re_lo), a[1])
     iota_r = jnp.arange(p, dtype=jnp.float32)
-    iota_c = jnp.arange(p + nrhs, dtype=jnp.float32)
 
     def step(a, j):
         row = tuple(tuple(
             jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-2) for x in comp)
             for comp in a)                                   # (S, 1, p+nrhs)
+        col = tuple(tuple(
+            jax.lax.dynamic_slice_in_dim(x[..., :, :p], j, 1, axis=-1)
+            for x in comp) for comp in a)                    # (S, p, 1)
         d = tuple(tuple(
             jax.lax.dynamic_slice_in_dim(x, j, 1, axis=-1) for x in comp)
             for comp in row)                                 # (S, 1, 1)
-        mult = cdf_div(row, d)                               # (S, 1, p+nrhs)
-        mult_mat = tuple(tuple(jnp.swapaxes(x[..., :p], -1, -2)
-                               for x in comp) for comp in mult)  # (S, p, 1)
-        outer = cdf_mul(mult_mat, row)                       # (S, p, p+nrhs)
-        gr = (iota_r > j).astype(jnp.float32)
-        gc = jnp.logical_or(iota_c > j, iota_c >= p).astype(jnp.float32)
-        gate = gr[:, None] * gc[None, :]
+        mult = cdf_div(col, d)                               # (S, p, 1)
+        outer = cdf_mul(mult, row)                           # (S, p, p+nrhs)
+        # FULL Gauss-Jordan: clear pivot column j from every other row
+        # (matrix part and rhs). Pivots equal the LU pivots (row j' is only
+        # ever updated by earlier pivots), the matrix ends diagonal, and
+        # each rhs row ends as d_k x_k. A below-only rhs update is NOT
+        # equivalent for p >= 3 (rhs_j keeps changing after step j).
+        others = (iota_r != j).astype(jnp.float32)
+        gate = others[:, None] * jnp.ones((1, p + nrhs), jnp.float32)
         sub = tuple(tuple(x * gate for x in comp) for comp in outer)
         a = cdf_add(a, cdf_neg(sub))
         dj = tuple(tuple(x[..., 0, 0] for x in comp) for comp in d)
@@ -154,7 +163,7 @@ def _torontonian_df32(o_mat):
     sub_re = re[idx[:, :, None], idx[:, None, :]] * mask2
     a_re, a_re_lo = _two_sum(eye, -sub_re)       # exact I - O_Z (see helper)
     a_im = -im[idx[:, :, None], idx[:, None, :]] * mask2
-    det = _cdf_ldl_det(a_re, a_im, a_re_lo=a_re_lo)
+    det = _cdf_lu_det(a_re, a_im, a_re_lo=a_re_lo)
     ones = jnp.ones(det[0][0].shape, jnp.float32)
     inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
     signed = tuple(tuple(x * sign for x in comp) for comp in inv_sqrt)
@@ -178,11 +187,13 @@ def _torontonian_df32_jvp(primals, tangents):
 
 @jax.custom_jvp
 def _torontonian_loop_df32(o_mat, gamma):
-    """df32 displaced (loop) torontonian: one augmented LDL^T pass per
-    subset gives det AND the quadratic form gamma_Z^T (I-O_Z)^{-1}
-    conj(gamma_Z) (forward-eliminated rhs columns, w^T D^{-1} w), then
-    exp in df32 (ops/df32.py::cdf_exp) so the inclusion-exclusion
-    cancellation (~1e4-1e7x) doesn't eat the c64 result."""
+    """df32 displaced (loop) torontonian: one augmented LU pass per subset
+    gives det AND the quadratic form gamma_Z^T (I-O_Z)^{-1} conj(gamma_Z)
+    (Gauss-Jordan rhs: final rhs row k = d_k x_k with x = A^{-1} conj(g),
+    so the form is sum_k g_k rhs_k / d_k — valid for GENERAL matrices, the
+    circuit's o_mat is not symmetric), then exp in df32
+    (ops/df32.py::cdf_exp) so the inclusion-exclusion cancellation
+    (~1e4-1e7x) doesn't eat the c64 result."""
     size = o_mat.shape[-1]
     m = size // 2
     re = jnp.real(o_mat).astype(jnp.float32)
@@ -199,14 +210,15 @@ def _torontonian_loop_df32(o_mat, gamma):
     g_re = gre[idx] * v
     g_im = gim[idx] * v
     zcol = jnp.zeros_like(g_re)[..., None]
-    aug_re = jnp.concatenate([a_re, g_re[..., None], g_re[..., None]], -1)
-    aug_lo = jnp.concatenate([a_re_lo, zcol, zcol], -1)
-    aug_im = jnp.concatenate([a_im, g_im[..., None], -g_im[..., None]], -1)
-    det, w, ds = _cdf_ldl_det(aug_re, aug_im, nrhs=2, a_re_lo=aug_lo)
-    w1 = tuple(tuple(x[..., 0] for x in comp) for comp in w)     # (S, p)
-    w2 = tuple(tuple(x[..., 1] for x in comp) for comp in w)
+    # single rhs = conj(gamma_Z); the left gamma enters at the dot below
+    aug_re = jnp.concatenate([a_re, g_re[..., None]], -1)
+    aug_lo = jnp.concatenate([a_re_lo, zcol], -1)
+    aug_im = jnp.concatenate([a_im, -g_im[..., None]], -1)
+    det, w, ds = _cdf_lu_det(aug_re, aug_im, nrhs=1, a_re_lo=aug_lo)
+    rhs = tuple(tuple(x[..., 0] for x in comp) for comp in w)    # (S, p)
     dsm = tuple(tuple(jnp.moveaxis(x, 0, -1) for x in comp) for comp in ds)
-    e = cdf_sum_axis(cdf_div(cdf_mul(w1, w2), dsm), -1)
+    g_df = cdf_lift(g_re, g_im)
+    e = cdf_sum_axis(cdf_div(cdf_mul(g_df, rhs), dsm), -1)
     expe = cdf_exp(cdf_scale_const(e, 0.5))
     ones = jnp.ones(det[0][0].shape, jnp.float32)
     inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))

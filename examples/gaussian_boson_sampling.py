@@ -27,6 +27,19 @@ def main():
     exp, var = gbs.photon_number_mean_var()
     print('photon number mean:', np.asarray(exp).round(4))
 
+    # threshold (click) detectors: torontonian probabilities over all 2^n
+    # click patterns — on TPU at complex64 these run in df32 double-single
+    # arithmetic (the inclusion-exclusion sum cancels by ~1e4-1e7x and
+    # plain c64 returns garbage)
+    probs_click = gbs(is_prob=True, detector='threshold')
+    total = sum(float(np.asarray(p)) for p in probs_click.values())
+    print('threshold click-pattern probabilities (top 4):')
+    for fs, p in list(probs_click.items())[:4]:
+        print(f'  {fs}: {float(np.asarray(p)):.5f}')
+    print(f'sum over all click patterns = {total:.6f}')
+    assert abs(total - 1) < 1e-4, total
+    print('PASS')
+
 
 if __name__ == '__main__':
     main()

@@ -421,19 +421,14 @@ def test_hafnian_df32_loop_accuracy():
 
 def test_torontonian_df32_click_and_loop():
     """The c64 df32 torontonian (click and displaced paths) against a host
-    f64 oracle on a cancellation-heavy instance (amplification ~2e4): plain
-    c64 loses everything (rel err ~0.75 measured); the df32 path with the
-    exact I - O_Z subtraction holds ~1e-8."""
+    f64 oracle on a cancellation-heavy symmetric instance (amplification
+    ~2e4, where plain c64 loses everything) AND on NON-symmetric complex
+    instances — the circuit's own threshold o_mat is not symmetric, and a
+    symmetry-assuming LDL^T formulation once returned >= 3-click
+    probabilities up to ~10x wrong while passing every symmetric test."""
     import itertools as it
     from deepquantum_tpu.photonic.torontonian_ import (
         _torontonian_df32, _torontonian_loop_df32)
-    rng = np.random.default_rng(2)
-    n = 4
-    m = rng.standard_normal((2 * n, 2 * n)) * 0.1
-    o = (np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + m @ m.T)
-         ).astype(np.complex64).astype(np.complex128)
-    gam = (rng.standard_normal(2 * n) * 0.1).astype(np.float32).astype(np.complex128)
-    gam[n:] = np.conj(gam[:n])
 
     def host(o, gamma):
         mm = o.shape[-1] // 2
@@ -448,15 +443,52 @@ def test_torontonian_df32_click_and_loop():
                           / np.sqrt(np.linalg.det(ci)))
         return complex(total)
 
-    oc64 = jnp.asarray(o, jnp.complex64)
-    got = complex(np.asarray(jax.jit(_torontonian_df32)(oc64)))
-    ref = host(o, np.zeros(2 * n))
-    assert abs(got - ref) / abs(ref) < 1e-6, abs(got - ref) / abs(ref)
+    rng = np.random.default_rng(2)
+    n = 4
+    m = rng.standard_normal((2 * n, 2 * n)) * 0.1
+    o_sym = np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + m @ m.T)
+    o_nonsym = (rng.standard_normal((2 * n, 2 * n))
+                + 1j * rng.standard_normal((2 * n, 2 * n))) * 0.12
+    for o in (o_sym, o_nonsym):
+        o = np.asarray(o).astype(np.complex64).astype(np.complex128)
+        gam = (rng.standard_normal(2 * n) * 0.1).astype(np.float32).astype(np.complex128)
 
-    gotl = complex(np.asarray(jax.jit(_torontonian_loop_df32)(
-        oc64, jnp.asarray(gam, jnp.complex64))))
-    refl = host(o, gam)
-    assert abs(gotl - refl) / abs(refl) < 1e-6, abs(gotl - refl) / abs(refl)
+        oc64 = jnp.asarray(o, jnp.complex64)
+        got = complex(np.asarray(jax.jit(_torontonian_df32)(oc64)))
+        ref = host(o, np.zeros(2 * n))
+        assert abs(got - ref) / abs(ref) < 1e-6, abs(got - ref) / abs(ref)
+
+        gotl = complex(np.asarray(jax.jit(_torontonian_loop_df32)(
+            oc64, jnp.asarray(gam, jnp.complex64))))
+        refl = host(o, gam)
+        assert abs(gotl - refl) / abs(refl) < 1e-6, abs(gotl - refl) / abs(refl)
+
+
+def test_threshold_probs_sum_to_one_c64():
+    """End-to-end regression for the non-symmetric-torontonian bug: GBS
+    threshold click-pattern probabilities at the complex64 policy sum to 1
+    and match the f64 values (they once summed to 0.9866 because >=3-click
+    patterns went through a symmetry-assuming LDL^T)."""
+    from scipy.stats import unitary_group
+    from deepquantum_tpu.photonic.ansatz import GaussianBosonSampling
+
+    def run():
+        g = GaussianBosonSampling(nmode=4, squeezing=[0.5, 0.4, 0.3, 0.2],
+                                  unitary=unitary_group.rvs(4, random_state=0),
+                                  cutoff=3, backend='gaussian')
+        p = g(is_prob=True, detector='threshold')
+        return {tuple(int(x) for x in np.asarray(k.state).reshape(-1).tolist()):
+                float(np.asarray(v)) for k, v in p.items()}
+
+    f64 = run()
+    dq.set_dtype('complex64')
+    try:
+        c64 = run()
+    finally:
+        dq.set_dtype('complex128')
+    assert abs(sum(c64.values()) - 1) < 1e-4, sum(c64.values())
+    for k, v in f64.items():
+        assert abs(c64[k] - v) < 1e-5, (k, c64[k], v)
 
 
 def test_batched_basis_input():
