@@ -77,8 +77,8 @@ def _torontonian_plain(o_mat, gamma) -> jnp.ndarray:
 def _padded_tor_indices(m: int):
     """Sorted (y, y+m) row indices per subset via the shared powerset
     scaffold (hafnian_.py::padded_powerset_indices). Padded rows/cols are
-    filled with identity (det unchanged), so one vmapped fixed-shape LDL^T
-    covers the powerset."""
+    filled with identity (det unchanged), so one vmapped fixed-shape
+    Gauss-Jordan LU covers the powerset."""
     from .hafnian_ import padded_powerset_indices
     return padded_powerset_indices(
         m, lambda y_sets, k: np.sort(
