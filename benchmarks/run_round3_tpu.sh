@@ -10,8 +10,9 @@ timeout 580 python benchmarks/tpu_smoke.py 2>&1 | tail -12
 # MXU grad-kernel decision data (VERDICT item 6) + fused-backward grid
 timeout 580 python benchmarks/bench_suite.py grad_mxu 2>&1 | tail -12
 
-# den-mat noisy-QML planar route
+# den-mat noisy-QML planar route + batched QML grid-axis route
 timeout 580 python benchmarks/bench_suite.py denmat 2>&1 | tail -4
+timeout 580 python benchmarks/bench_suite.py batched_qml 2>&1 | tail -4
 
 # stale / missing artifact rows (VERDICT items 3, 5, 7 + loop rows)
 timeout 580 python benchmarks/bench_suite.py torontonian 2>&1 | tail -10
