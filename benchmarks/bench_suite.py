@@ -250,18 +250,34 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
     dot_general cotangent reduction (DQ_GRAD_MXU) x 3-launch vs fused
     single-launch backward (DQ_FUSED_BWD, 6 -> 4 HBM units per gate) x
     fusion K in {2, 3}, plus a recorded on-chip gradient parity row
-    (VERDICT r2 item 6)."""
+    (VERDICT r2 item 6).
+
+    One full grid does not fit a single 580 s process on the tunneled chip
+    (8 compiles of a deep planar chain), so the grid is resumable:
+    DQ_BENCH_CONFIGS="00,01" runs only (fused,mxu) pairs listed (parity row
+    runs only when "parity" is listed or the filter is unset), and the
+    section merges into any previously recorded rows instead of replacing
+    them."""
     import os
 
     import jax
     import jax.numpy as jnp
+    cfg_filter = os.environ.get('DQ_BENCH_CONFIGS', '')
+    pairs = [(int(c[0]), int(c[1])) for c in cfg_filter.split(',')
+             if len(c) == 2 and c.isdigit()] if cfg_filter else \
+        [(f, m) for f in (0, 1) for m in (0, 1)]
+    do_parity = (not cfg_filter) or ('parity' in cfg_filter)
     out = {}
+    path = os.path.join(_HERE, 'results.json')
+    if os.path.exists(path):
+        with open(path) as f:
+            out.update(json.load(f).get('grad_mxu_ablation_ms') or {})
     prev = os.environ.get('DQ_GRAD_MXU')
     prev_f = os.environ.get('DQ_FUSED_BWD')
     try:
-        for fused in (0, 1):
+        for fused, mxu in pairs:
             os.environ['DQ_FUSED_BWD'] = str(fused)
-            for mxu in (0, 1):
+            if True:
                 os.environ['DQ_GRAD_MXU'] = str(mxu)
                 for K in (2, 3):
                     cir = _build_vqe(n, nlayer)
@@ -287,21 +303,23 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
                     print(f'grad kernel fused={fused} mxu={mxu} K={K}: {ms:.2f} ms/step')
         os.environ['DQ_FUSED_BWD'] = '0'
 
-        # on-chip gradient parity between the two kernel formulations —
-        # same parameter point for both (param init is random per build)
-        grads = {}
-        p0 = None
-        for mxu in (0, 1):
-            os.environ['DQ_GRAD_MXU'] = str(mxu)
-            cir = _build_vqe(acc_n, 2)
-            if p0 is None:
-                p0 = cir.params
-            g = jax.jit(jax.grad(lambda p: cir.expectation(params=p)[0]))(p0)
-            grads[mxu] = np.asarray(jnp.asarray(g, jnp.float32))
-        denom = max(float(np.abs(grads[0]).max()), 1e-12)
-        out['grad_parity_max_rel'] = float(np.abs(grads[1] - grads[0]).max()) / denom
-        print(f'grad kernel parity (n={acc_n}): max rel diff = '
-              f'{out["grad_parity_max_rel"]:.2e}')
+        if do_parity:
+            # on-chip gradient parity between the two kernel formulations —
+            # same parameter point for both (param init is random per build)
+            grads = {}
+            p0 = None
+            for mxu in (0, 1):
+                os.environ['DQ_GRAD_MXU'] = str(mxu)
+                cir = _build_vqe(acc_n, 2)
+                if p0 is None:
+                    p0 = cir.params
+                g = jax.jit(jax.grad(lambda p: cir.expectation(params=p)[0]))(p0)
+                grads[mxu] = np.asarray(jnp.asarray(g, jnp.float32))
+            denom = max(float(np.abs(grads[0]).max()), 1e-12)
+            out['grad_parity_max_rel'] = (float(np.abs(grads[1] - grads[0]).max())
+                                          / denom)
+            print(f'grad kernel parity (n={acc_n}): max rel diff = '
+                  f'{out["grad_parity_max_rel"]:.2e}')
     finally:
         if prev is None:
             os.environ.pop('DQ_GRAD_MXU', None)
