@@ -274,12 +274,28 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
             out.update(json.load(f).get('grad_mxu_ablation_ms') or {})
     prev = os.environ.get('DQ_GRAD_MXU')
     prev_f = os.environ.get('DQ_FUSED_BWD')
+
+    def _flush():
+        # each cell is a multi-minute compile on the tunneled chip and the
+        # 580 s process cap can land mid-grid — persist after every cell
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged['grad_mxu_ablation_ms'] = out
+        with open(path, 'w') as f:
+            json.dump(merged, f, indent=2)
+
     try:
         for fused, mxu in pairs:
             os.environ['DQ_FUSED_BWD'] = str(fused)
             if True:
                 os.environ['DQ_GRAD_MXU'] = str(mxu)
                 for K in (2, 3):
+                    if out.get(f'fused{fused}_mxu{mxu}_K{K}') is not None:
+                        print(f'grad kernel fused={fused} mxu={mxu} K={K}: '
+                              f'cached {out[f"fused{fused}_mxu{mxu}_K{K}"]:.2f}')
+                        continue
                     cir = _build_vqe(n, nlayer)
                     cir.fuse_max_support = K
                     grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
@@ -298,12 +314,14 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
                         print(f'grad kernel fused={fused} mxu={mxu} K={K}: failed '
                               f'({type(e).__name__}: {str(e)[:100]})')
                         out[f'fused{fused}_mxu{mxu}_K{K}'] = None
+                        _flush()
                         continue
                     out[f'fused{fused}_mxu{mxu}_K{K}'] = ms
                     print(f'grad kernel fused={fused} mxu={mxu} K={K}: {ms:.2f} ms/step')
+                    _flush()
         os.environ['DQ_FUSED_BWD'] = '0'
 
-        if do_parity:
+        if do_parity and out.get('grad_parity_max_rel') is None:
             # on-chip gradient parity between the two kernel formulations —
             # same parameter point for both (param init is random per build)
             grads = {}
@@ -320,6 +338,7 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
                                           / denom)
             print(f'grad kernel parity (n={acc_n}): max rel diff = '
                   f'{out["grad_parity_max_rel"]:.2e}')
+            _flush()
     finally:
         if prev is None:
             os.environ.pop('DQ_GRAD_MXU', None)
