@@ -32,7 +32,31 @@ import numpy as np
 
 PROFILE = '--profile' in sys.argv
 REFERENCE = '--reference' in sys.argv
+RETRY_FAILED = os.environ.get('DQ_BENCH_RETRY_FAILED', '0') == '1'
 _HERE = os.path.dirname(os.path.abspath(__file__))
+
+_FAILED = 'failed'     # sentinel: attempted and failed (skip unless retrying)
+
+
+def _atomic_dump(obj, path):
+    """os.replace a temp file over results.json so a process cap landing
+    mid-write cannot truncate the artifact (advisor r3)."""
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
+
+
+def _skip_cell(recorded) -> bool:
+    """True when a cell should be skipped on resume: a number is always kept;
+    a 'failed' sentinel is kept unless DQ_BENCH_RETRY_FAILED=1 (advisor r3:
+    a deterministically failing multi-minute cell must not starve the rest
+    of the grid at the start of every capped process)."""
+    if recorded is None:
+        return False
+    if recorded == _FAILED:
+        return not RETRY_FAILED
+    return True
 
 
 @contextlib.contextmanager
@@ -277,14 +301,14 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
 
     def _flush():
         # each cell is a multi-minute compile on the tunneled chip and the
-        # 580 s process cap can land mid-grid — persist after every cell
+        # 580 s process cap can land mid-grid — persist after every cell,
+        # atomically (a cap landing mid-write must not truncate the JSON)
         merged = {}
         if os.path.exists(path):
             with open(path) as f:
                 merged = json.load(f)
         merged['grad_mxu_ablation_ms'] = out
-        with open(path, 'w') as f:
-            json.dump(merged, f, indent=2)
+        _atomic_dump(merged, path)
 
     try:
         for fused, mxu in pairs:
@@ -292,9 +316,9 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
             if True:
                 os.environ['DQ_GRAD_MXU'] = str(mxu)
                 for K in (2, 3):
-                    if out.get(f'fused{fused}_mxu{mxu}_K{K}') is not None:
+                    if _skip_cell(out.get(f'fused{fused}_mxu{mxu}_K{K}')):
                         print(f'grad kernel fused={fused} mxu={mxu} K={K}: '
-                              f'cached {out[f"fused{fused}_mxu{mxu}_K{K}"]:.2f}')
+                              f'cached {out[f"fused{fused}_mxu{mxu}_K{K}"]}')
                         continue
                     cir = _build_vqe(n, nlayer)
                     cir.fuse_max_support = K
@@ -313,7 +337,7 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
                     except Exception as e:  # noqa: BLE001 — record partial grids
                         print(f'grad kernel fused={fused} mxu={mxu} K={K}: failed '
                               f'({type(e).__name__}: {str(e)[:100]})')
-                        out[f'fused{fused}_mxu{mxu}_K{K}'] = None
+                        out[f'fused{fused}_mxu{mxu}_K{K}'] = _FAILED
                         _flush()
                         continue
                     out[f'fused{fused}_mxu{mxu}_K{K}'] = ms
@@ -321,6 +345,14 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
                     _flush()
         os.environ['DQ_FUSED_BWD'] = '0'
 
+        if do_parity and out.get('grad_parity_max_rel') is not None:
+            # advisor r3: say the value is cached, and recompute when 'parity'
+            # is explicitly requested (gradient-kernel changes stale it)
+            if 'parity' in cfg_filter:
+                out.pop('grad_parity_max_rel')
+            else:
+                print(f'grad kernel parity: cached {out["grad_parity_max_rel"]:.2e} '
+                      '(set DQ_BENCH_CONFIGS=parity to force recompute)')
         if do_parity and out.get('grad_parity_max_rel') is None:
             # on-chip gradient parity between the two kernel formulations —
             # same parameter point for both (param init is random per build)
@@ -986,14 +1018,12 @@ def main():
     for name, (key, fn) in SECTIONS.items():
         if which & {name, 'all'}:
             results[key] = fn()
-            with open(path, 'w') as f:
-                json.dump(results, f, indent=2)
+            _atomic_dump(results, path)
     if REFERENCE:
         for name, (key, fn) in REF_SECTIONS.items():
             if which & {name, 'all'}:
                 results[key] = fn()
-                with open(path, 'w') as f:
-                    json.dump(results, f, indent=2)
+                _atomic_dump(results, path)
     print(f'wrote {path}')
 
 

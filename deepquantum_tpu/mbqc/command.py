@@ -4,6 +4,11 @@ Node / Entanglement are pure graph bookkeeping; Measurement lazily
 materializes the owning subgraph, applies the adaptive-angle J projector and
 one-shot sampling in host numpy (see the fast-path note below), then
 collapses the subgraph; Correction applies conditional X/Z byproducts.
+
+Porting note: the adaptive-angle domain algebra (s/t sign rules per XY/XZ/YZ
+plane, reference mbqc/command.py:134-155) is the canonical MBQC calculus and
+matches the reference term-for-term; the state materialization + projection
+underneath is the host-numpy redesign described above.
 """
 
 from __future__ import annotations

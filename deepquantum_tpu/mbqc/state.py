@@ -1,9 +1,18 @@
 """MBQC graph states (reference src/deepquantum/mbqc/state.py).
 
-SubGraphState = networkx graph + input-state array; materializing the full
-state runs the CZ edges through a jitted QubitCircuit. Host-driven control
-flow with jitted inner steps (measurement collapse changes graph structure
-dynamically, which cannot trace).
+SubGraphState = networkx graph + input-state array. Host-driven control flow
+(measurement collapse changes graph structure dynamically, which cannot
+trace); the heavy part — materializing ``full_state`` — is this repo's own
+design: a single numpy kron + one CZ sign-vector pass instead of the
+reference's per-edge QubitCircuit simulation (58 s -> 29 ms on transpile
+parity tests, see mbqc/command.py).
+
+Porting note: the graph-bookkeeping surface (set_graph/set_state/compose/
+shift_labels/node2wire sequencing, reference mbqc/state.py:17-288) follows
+the reference's semantics statement-for-statement where the semantics ARE
+the statements — node ordering, cz-edge flags, and the nodes_state cycle
+convention must match exactly for pattern-vs-circuit parity. The execution
+path underneath (full_state, command runner) is independent.
 """
 
 from __future__ import annotations

@@ -1,4 +1,9 @@
-"""Photonic ansatz circuits (reference src/deepquantum/photonic/ansatz.py)."""
+"""Photonic ansatz circuits (reference src/deepquantum/photonic/ansatz.py).
+
+Porting note: the Clements ``dict2data`` angle-ordering loops mirror the
+reference exactly — the (column, mode) -> parameter-slot mapping is a fixed
+hardware convention that decomposition parity tests pin bit-for-bit.
+"""
 
 from __future__ import annotations
 

@@ -943,7 +943,13 @@ class QumodeCircuit:
                 res = {basis[i]: (v, row[i]) if with_prob else v for i, v in samples.items()}
                 results.append(res)
             return results[0] if single else results
-        raise NotImplementedError
+        raise NotImplementedError(
+            f'measure: no sampling path for backend={self.backend!r} with '
+            f'basis={self.basis}, mps={self.mps}, den_mat={self.den_mat} — '
+            'supported combinations are Fock basis-mode dicts, Fock tensors '
+            '(dense/MPS/den_mat), and gaussian/bosonic via Fock-basis '
+            'probabilities; run forward() first or use measure_homodyne for '
+            'CV quadrature samples')
 
     def photon_number_mean_var(self, wires=None):
         """Photon-number statistics (reference circuit.py:1645)."""
