@@ -59,6 +59,35 @@ def _skip_cell(recorded) -> bool:
     return True
 
 
+def _merge_row(key, rowkey, value):
+    """Persist ONE row of a section immediately (atomic read-merge-replace),
+    so a 580 s process cap mid-grid loses at most the in-flight row and a
+    rerun of the section resumes instead of restarting."""
+    path = os.path.join(_HERE, 'results.json')
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    sec = merged.get(key)
+    if not isinstance(sec, dict):
+        sec = {}
+    sec[rowkey] = value
+    merged[key] = sec
+    _atomic_dump(merged, path)
+    return sec
+
+
+def _recorded(key) -> dict:
+    """Rows already recorded for a section (for skip-on-resume)."""
+    path = os.path.join(_HERE, 'results.json')
+    if os.path.exists(path):
+        with open(path) as f:
+            sec = json.load(f).get(key)
+        if isinstance(sec, dict):
+            return sec
+    return {}
+
+
 @contextlib.contextmanager
 def _maybe_profile(tag):
     if not PROFILE:
@@ -153,7 +182,13 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
     """Reference grid: gradient_deepquantum.py:24-56 (n x layers)."""
     import jax
     import jax.numpy as jnp
-    out = {}
+    # rows are non-monotonic across the engine threshold (e.g. n6_l10 >
+    # n10_l10): n >= 10 rides the planar Pallas kernel, below it the XLA
+    # einsum path — tag the boundary so readers see a threshold, not a bug
+    out = {'_engine': {'planar_from_n': 10,
+                       'note': 'rows with n >= planar_from_n run the planar '
+                               'Pallas engine; smaller n run the XLA einsum '
+                               'path (planar_supported, ops/planar_gate.py)'}}
     for nlayer in grid[1]:
         for n in grid[0]:
             # no residual-memory cap needed: on TPU at n >= 12 the planar
@@ -173,6 +208,58 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
                 ms = _scan_time(make_loop, cir.params, steps)
             out[f'n{n}_l{nlayer}'] = ms
             print(f'gradient n={n} l={nlayer}: {ms:.3f} ms/step')
+    return out
+
+
+def bench_shardmap_grad(ns=(18, 24), nlayer=2, steps=10):
+    """Grad step through DistributedQubitCircuit(engine='shardmap') on the
+    attached chip (mesh=1) vs the local planar path at the same workload —
+    quantifies the distributed engine's overhead (chain VJP + exchange
+    machinery) relative to the single-chip roofline path (VERDICT r3 item 4;
+    reference training semantics: circuit.py:1706 + adjoint.py:43-83).
+    The 8-CPU-mesh scaling shape lives in MULTICHIP_r*.json (driver dryrun)."""
+    import jax
+    from deepquantum_tpu.parallel.circuit import DistributedQubitCircuit
+    from deepquantum_tpu.parallel.sharded import make_mesh
+    out = dict(_recorded('shardmap_grad_ms'))
+    for n in ns:
+        for engine in ('shardmap', 'local'):
+            rk = f'n{n}_l{nlayer}_{engine}'
+            if _skip_cell(out.get(rk)):
+                print(f'shardmap_grad {rk}: cached {out[rk]}')
+                continue
+            try:
+                if engine == 'shardmap':
+                    cir = DistributedQubitCircuit(n, mesh=make_mesh(1),
+                                                  engine='shardmap')
+                    for _ in range(nlayer):
+                        for i in range(n):
+                            cir.rx(i)
+                            cir.rz(i)
+                            cir.rx(i)
+                        cir.cnot_ring()
+                    cir.observable(list(range(n)), basis='x' * n)
+                else:
+                    cir = _build_vqe(n, nlayer)
+                grad_fn = jax.value_and_grad(
+                    lambda p: cir.expectation(params=p)[0])
+
+                def make_loop(k):
+                    def loop(p):
+                        def body(p, _):
+                            _, g = grad_fn(p)
+                            return p - 1e-3 * g, None
+                        return jax.lax.scan(body, p, None, length=k)[0]
+                    return loop
+
+                ms = _scan_time(make_loop, cir.params, steps)
+                out = _merge_row('shardmap_grad_ms', rk, ms)
+                print(f'shardmap_grad n={n} l={nlayer} [{engine}]: '
+                      f'{ms:.3f} ms/step')
+            except Exception as e:  # noqa: BLE001 — record partial grids
+                print(f'shardmap_grad {rk}: failed '
+                      f'({type(e).__name__}: {str(e)[:120]})')
+                out = _merge_row('shardmap_grad_ms', rk, _FAILED)
     return out
 
 
@@ -868,14 +955,20 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
         lrel = abs(lval - loracle) / abs(loracle)
 
         def make_loop_l(k):
-            def loop(z):
-                def body(z, _):
-                    v = torontonian(z, gdev)
-                    return z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype), None
-                return jax.lax.scan(body, z, None, length=k)[0]
+            # gamma rides the carry: a closed-over complex device array would
+            # be embedded as a jit CONSTANT, and constant embedding fetches
+            # the value host-side — a complex d2h transfer the axon tunnel
+            # does not implement (utils/compat.py)
+            def loop(carry):
+                def body(carry, _):
+                    z, g = carry
+                    v = torontonian(z, g)
+                    scale = (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype)
+                    return (z * scale, g), None
+                return jax.lax.scan(body, carry, None, length=k)[0]
             return loop
 
-        lms = _scan_time(make_loop_l, x, steps)
+        lms = _scan_time(make_loop_l, (x, gdev), steps)
         out[f'loop_n{n}'] = dict(ms=lms, rel_err_vs_f64=lrel)
         print(f'loop torontonian 2n={2 * n}: {lms:.3f} ms, rel err vs f64 = '
               f'{lrel:.2e}')
@@ -883,12 +976,46 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
 
 
 # ---------------------------------------------------------------------- MBQC
+def _mbqc_circuit_specs(ns=(3, 5, 7), reps=3):
+    """The exact random-circuit op lists bench_mbqc times, as data — so the
+    reference comparator (bench_reference_mbqc) runs the SAME circuits."""
+    rng = np.random.default_rng(3)
+    specs = {}
+    for n in ns:
+        per_rep = []
+        for _ in range(reps):
+            ops = []
+            for _ in range(2 * n):
+                k = int(rng.integers(3))
+                w = int(rng.integers(n))
+                if k == 0:
+                    ops.append(('h', w))
+                elif k == 1:
+                    ops.append(('rx', w, float(rng.uniform(0, np.pi))))
+                else:
+                    ops.append(('cnot', w, (w + 1) % n))
+            per_rep.append(ops)
+        specs[n] = per_rep
+    return specs
+
+
+def _mbqc_build(cir, ops):
+    for op in ops:
+        if op[0] == 'h':
+            cir.h(op[1])
+        elif op[0] == 'rx':
+            cir.rx(op[1], inputs=op[2])
+        else:
+            cir.cnot(op[1], op[2])
+    return cir
+
+
 def bench_mbqc(ns=(3, 5, 7), reps=3):
     """Transpile + simulate latency on random circuits (reference
     MBQC_simulate/simulate_dq.py, MBQC_transpile/transpile_dq.py).
     Host-driven (pattern execution is host orchestration by design)."""
     import deepquantum_tpu as dq
-    rng = np.random.default_rng(3)
+    specs = _mbqc_circuit_specs(ns, reps)
     out = {}
     # exclude first-call compile from every row (round-2 review: the n=3
     # row recorded 52 ms of warmup against 0.4 ms steady-state)
@@ -898,17 +1025,8 @@ def bench_mbqc(ns=(3, 5, 7), reps=3):
     warm.pattern()()
     for n in ns:
         t_t, t_s = [], []
-        for r in range(reps):
-            cir = dq.QubitCircuit(n)
-            for _ in range(2 * n):
-                k = int(rng.integers(3))
-                w = int(rng.integers(n))
-                if k == 0:
-                    cir.h(w)
-                elif k == 1:
-                    cir.rx(w, inputs=float(rng.uniform(0, np.pi)))
-                else:
-                    cir.cnot(w, (w + 1) % n)
+        for ops in specs[n]:
+            cir = _mbqc_build(dq.QubitCircuit(n), ops)
             t0 = time.perf_counter()
             pat = cir.pattern()
             t_t.append(time.perf_counter() - t0)
@@ -939,14 +1057,21 @@ def _import_reference():
     return ref_dq
 
 
-def bench_reference_gradient(grid=((2, 6, 10, 14, 18), (1, 5)), steps=5):
+def bench_reference_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=5):
     """Reference torch-CPU gradient grid (examples/benchmarks/benchmark_v420/
-    gradient/gradient_deepquantum.py:24-56)."""
+    gradient/gradient_deepquantum.py:24-56) — full n x layers spec, incl. the
+    n=22 rows (VERDICT r3: our n22 rows had no vs-baseline). Rows flush
+    incrementally and skip on resume: n=22/l=10 alone is ~minutes of torch CPU."""
     import torch
     ref_dq = _import_reference()
-    out = {}
+    out = dict(_recorded('gradient_ref_ms'))
     for nlayer in grid[1]:
         for n in grid[0]:
+            rk = f'n{n}_l{nlayer}'
+            if _skip_cell(out.get(rk)):
+                print(f'reference gradient {rk}: cached {out[rk]}')
+                continue
+            nstep = steps if n < 22 else 2
             cir = ref_dq.QubitCircuit(n)
             for _ in range(nlayer):
                 for i in range(n):
@@ -956,13 +1081,125 @@ def bench_reference_gradient(grid=((2, 6, 10, 14, 18), (1, 5)), steps=5):
                 cir.cnot_ring()
             cir.observable(basis='x' * n)
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for _ in range(nstep):
                 cir().squeeze()
                 e = cir.expectation()
                 e.backward()
-            ms = (time.perf_counter() - t0) / steps * 1e3
-            out[f'n{n}_l{nlayer}'] = ms
+            ms = (time.perf_counter() - t0) / nstep * 1e3
+            out = _merge_row('gradient_ref_ms', rk, ms)
             print(f'reference gradient n={n} l={nlayer}: {ms:.1f} ms/step')
+    return out
+
+
+def bench_reference_hafnian(ns=(8, 12, 16), steps=5):
+    """Reference torch-CPU hafnian on the SAME quantized matrices as
+    bench_hafnian (seed rng(1)), plus the batch row (reference metric:
+    benchmark_v420/hafnian/hafnian_deepquantum_batch.py — eigenvalue-trace
+    hafnian_batch, reference photonic/hafnian_.py:93-126)."""
+    import torch
+    _import_reference()
+    from deepquantum.photonic.hafnian_ import hafnian as ref_haf
+    from deepquantum.photonic.hafnian_ import hafnian_batch as ref_haf_batch
+    rng = np.random.default_rng(1)
+    out = dict(_recorded('hafnian_ref_ms'))
+    for n in ns:
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        host = (a + a.T).astype(np.complex64)
+        m = torch.tensor(host.astype(np.complex128))
+        for loop, rk in ((False, f'n{n}'), (True, f'loop_n{n}')):
+            if _skip_cell(out.get(rk)):
+                print(f'reference hafnian {rk}: cached {out[rk]}')
+                continue
+            ref_haf(m, loop=loop)                       # warm any lazy setup
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                ref_haf(m, loop=loop)
+            ms = (time.perf_counter() - t0) / steps * 1e3
+            out = _merge_row('hafnian_ref_ms', rk, ms)
+            print(f'reference {"loop " if loop else ""}hafnian n={n}: '
+                  f'{ms:.3f} ms (f64 CPU)')
+    # batched throughput at fixed n — mirrors bench_hafnian's batch row
+    n, B = 12, 100
+    rk = f'batch{B}_n{n}'
+    if not _skip_cell(out.get(rk)):
+        zs = rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+        hosts = (zs + np.swapaxes(zs, 1, 2)).astype(np.complex64)
+        mb = torch.tensor(hosts.astype(np.complex128))
+        ref_haf_batch(mb[:1])
+        t0 = time.perf_counter()
+        for _ in range(max(steps // 2, 1)):
+            ref_haf_batch(mb)
+        bms = (time.perf_counter() - t0) / max(steps // 2, 1) * 1e3
+        out = _merge_row('hafnian_ref_ms', rk,
+                         dict(total_ms=bms, ms_per_hafnian=bms / B))
+        print(f'reference hafnian batch={B} n={n}: {bms:.3f} ms total')
+    return out
+
+
+def bench_reference_torontonian(ns=(6, 8, 10), steps=5):
+    """Reference torch-CPU torontonian / loop torontonian on the SAME
+    quantized matrices as bench_torontonian (seed rng(2)) (reference metric:
+    benchmark_v420/torontonian/ + loop_torontonian/; reference
+    photonic/torontonian_.py:27-49)."""
+    import torch
+    _import_reference()
+    from deepquantum.photonic.torontonian_ import torontonian as ref_tor
+    rng = np.random.default_rng(2)
+    out = dict(_recorded('torontonian_ref_ms'))
+    for n in ns:
+        m = rng.standard_normal((2 * n, 2 * n)) * 0.1
+        o = (np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
+             ).astype(np.complex64).astype(np.complex128)
+        ot = torch.tensor(o)
+        gam = (rng.standard_normal(2 * n) * 0.1).astype(np.complex64
+                                                        ).astype(np.complex128)
+        gam[n:] = np.conj(gam[:n])
+        gt = torch.tensor(gam)
+        for gamma, rk in ((None, f'n{n}'), (gt, f'loop_n{n}')):
+            if _skip_cell(out.get(rk)):
+                print(f'reference torontonian {rk}: cached {out[rk]}')
+                continue
+            ref_tor(ot, gamma)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                ref_tor(ot, gamma)
+            ms = (time.perf_counter() - t0) / steps * 1e3
+            out = _merge_row('torontonian_ref_ms', rk, ms)
+            print(f'reference {"loop " if gamma is not None else ""}'
+                  f'torontonian 2n={2 * n}: {ms:.3f} ms (f64 CPU)')
+    return out
+
+
+def bench_reference_mbqc(ns=(3, 5, 7), reps=3):
+    """Reference transpile + pattern-forward on the SAME random circuits as
+    bench_mbqc (VERDICT r3 item 7; reference metric:
+    benchmark_v420/MBQC_simulate/simulate_dq.py:25-44)."""
+    ref_dq = _import_reference()
+    specs = _mbqc_circuit_specs(ns, reps)
+    out = dict(_recorded('mbqc_ref_ms'))
+    warm = ref_dq.QubitCircuit(2)
+    warm.h(0)
+    warm.cnot(0, 1)
+    warm.pattern()()
+    for n in ns:
+        rk = f'n{n}'
+        if _skip_cell(out.get(rk)):
+            print(f'reference mbqc {rk}: cached')
+            continue
+        t_t, t_s = [], []
+        for ops in specs[n]:
+            cir = _mbqc_build(ref_dq.QubitCircuit(n), ops)
+            t0 = time.perf_counter()
+            pat = cir.pattern()
+            t_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            pat()
+            t_s.append(time.perf_counter() - t0)
+        row = dict(transpile_ms=float(np.mean(t_t)) * 1e3,
+                   simulate_ms=float(np.mean(t_s)) * 1e3)
+        out = _merge_row('mbqc_ref_ms', rk, row)
+        print(f'reference mbqc n={n}: transpile {row["transpile_ms"]:.1f} ms, '
+              f'simulate {row["simulate_ms"]:.1f} ms')
     return out
 
 
@@ -998,12 +1235,16 @@ SECTIONS = {
     'hafnian': ('hafnian_ms', bench_hafnian),
     'torontonian': ('torontonian_ms', bench_torontonian),
     'mbqc': ('mbqc_ms', bench_mbqc),
+    'shardmap_grad': ('shardmap_grad_ms', bench_shardmap_grad),
     # last: the pre-sharding adjoint once hard-crashed the worker at n > 14
     'gradient_adjoint': ('gradient_adjoint_ms', bench_gradient_adjoint),
 }
 REF_SECTIONS = {
     'gradient': ('gradient_ref_ms', bench_reference_gradient),
     'permanent': ('permanent_ref_ms', bench_reference_permanent),
+    'hafnian': ('hafnian_ref_ms', bench_reference_hafnian),
+    'torontonian': ('torontonian_ref_ms', bench_reference_torontonian),
+    'mbqc': ('mbqc_ref_ms', bench_reference_mbqc),
 }
 
 
@@ -1015,10 +1256,11 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
-    for name, (key, fn) in SECTIONS.items():
-        if which & {name, 'all'}:
-            results[key] = fn()
-            _atomic_dump(results, path)
+    if '--ref-only' not in sys.argv:
+        for name, (key, fn) in SECTIONS.items():
+            if which & {name, 'all'}:
+                results[key] = fn()
+                _atomic_dump(results, path)
     if REFERENCE:
         for name, (key, fn) in REF_SECTIONS.items():
             if which & {name, 'all'}:

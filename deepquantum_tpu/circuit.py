@@ -692,7 +692,8 @@ class QubitCircuit:
         hot path."""
         from .ops.apply import controlled_matrix
         from .ops.planar_gate import (_sorted_mat_planes, from_planar,
-                                      planar_chain, to_planar_batched)
+                                      planar_chain, schedule_planar_seq,
+                                      to_planar_batched)
         n = self.nqubit
         interp = jax.default_backend() != 'tpu'
         mres, mims, wseq = [], [], []
@@ -709,6 +710,8 @@ class QubitCircuit:
             mres.append(mre)
             mims.append(mim)
             wseq.append(tuple(sorted(wires)))
+        mres, mims, wseq = schedule_planar_seq(tuple(mres), tuple(mims),
+                                               tuple(wseq), n)
         p = planar_chain(to_planar_batched(states), tuple(mres), tuple(mims),
                          n, tuple(wseq), interp)
         return from_planar(p)
@@ -768,7 +771,8 @@ class QubitCircuit:
         dense Kraus step. states: (B, 4^n) complex; returns (B, 4^n)."""
         from .ops.apply import controlled_matrix
         from .ops.planar_gate import (_sorted_mat_planes, from_planar,
-                                      planar_chain, to_planar_batched)
+                                      planar_chain, schedule_planar_seq,
+                                      to_planar_batched)
         n = self.nqubit
         nn = 2 * n
         interp = jax.default_backend() != 'tpu'
@@ -780,8 +784,9 @@ class QubitCircuit:
 
         def flush(p):
             if mres:
-                p = planar_chain(p, tuple(mres), tuple(mims), nn, tuple(wseq),
-                                 interp)
+                r, i, w = schedule_planar_seq(tuple(mres), tuple(mims),
+                                              tuple(wseq), nn)
+                p = planar_chain(p, r, i, nn, w, interp)
                 mres.clear()
                 mims.clear()
                 wseq.clear()
@@ -1019,7 +1024,8 @@ class QubitCircuit:
                 # Pauli strings grouped into <=3-wire constant blocks, run
                 # through the planar engine: fwd = one kernel chain (Px),
                 # bwd = one elementwise pass (2*Px) — no complex einsums
-                from .ops.planar_gate import planar_pauli_expectation, to_planar
+                from .ops.planar_gate import (planar_pauli_expectation,
+                                              schedule_planar_seq, to_planar)
                 interp = jax.default_backend() != 'tpu'
                 xp = to_planar(s)
                 vals = []
@@ -1029,6 +1035,8 @@ class QubitCircuit:
                         mres.append(jnp.asarray(mat.real, jnp.float32))
                         mims.append(jnp.asarray(mat.imag, jnp.float32))
                         wseq.append(wires)
+                    mres, mims, wseq = schedule_planar_seq(
+                        tuple(mres), tuple(mims), tuple(wseq), n)
                     vals.append(planar_pauli_expectation(
                         xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
             else:
@@ -1044,6 +1052,7 @@ class QubitCircuit:
             # (pallas does not vmap); obs planes broadcast across the batch
             def fn(states):
                 from .ops.planar_gate import (planar_pauli_expectation,
+                                              schedule_planar_seq,
                                               to_planar_batched)
                 interp = jax.default_backend() != 'tpu'
                 bsz = states.shape[0]
@@ -1058,6 +1067,8 @@ class QubitCircuit:
                         mims.append(jnp.broadcast_to(
                             jnp.asarray(mat.imag, jnp.float32), (bsz, kk, kk)))
                         wseq.append(wires)
+                    mres, mims, wseq = schedule_planar_seq(
+                        tuple(mres), tuple(mims), tuple(wseq), n)
                     vals.append(planar_pauli_expectation(
                         xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
                 return jnp.stack(vals, axis=-1)

@@ -742,6 +742,141 @@ def planar_evolve_matrix(x, matrix, n: int, wires, interpret: bool = False):
     return planar_evolve(x, mre, mim, n, tuple(wires), interpret)
 
 
+# ----------------------------------------------------- wire-relabel schedule
+_ROT_MIN_BITS = 7      # both runs of the rotation transpose >= 128 elements
+_ROLL_LIMIT = _T_BITS + _RB_BITS_MAX   # positions with bit < this need rolls
+
+
+def _rotate_planar(x, delta: int, n: int):
+    """Cyclically rotate qubit POSITIONS of a planar state left by delta:
+    the wire at position delta moves to position 0 ((…, 2, 2^n) -> same).
+
+    Implemented as a 2-run grouped transpose. Legal deltas keep BOTH runs
+    >= 2^7 elements: TPU tiles the last two dims, and a short final dim is
+    catastrophic (measured 10 GB/s for a 4-lane final dim vs 255-540 GB/s
+    for 128+-lane runs — benchmarks/probe_transpose.py)."""
+    delta %= n
+    if delta == 0:
+        return x
+    lead = x.shape[:-1]
+    v = x.reshape(lead + (1 << delta, 1 << (n - delta)))
+    v = jnp.swapaxes(v, -1, -2)
+    return v.reshape(x.shape)
+
+
+def _rot_legal(delta: int, n: int) -> bool:
+    delta %= n
+    return delta == 0 or _ROT_MIN_BITS <= delta <= n - _ROT_MIN_BITS
+
+
+def _roll_count(pw, n: int) -> int:
+    """Mid/tail positions in a physical wire set (they need sublane/lane
+    rolls in the kernel; arithmetic grows 2^nr-fold)."""
+    return sum(1 for p in pw if (n - 1 - p) < _ROLL_LIMIT)
+
+
+def _gate_cost(pw, n: int) -> float:
+    """Relative pass cost by roll count (measured at n=24 on a v5e:
+    nr<=1 ~0.34-0.46 ms, nr=2 ~1.2-1.6 ms, nr=3 ~2.7-3.2 ms; see
+    benchmarks/probe_wireclass.py)."""
+    nr = _roll_count(pw, n)
+    return (1.0, 1.0, 3.5, 7.0)[min(nr, 3)]
+
+
+_ROT_COST = 2.0        # relabel transpose ~1-2 gate passes (probe_transpose)
+_LOOKAHEAD = 24        # groups simulated when scoring a candidate rotation
+
+
+def _rot_path(cur: int, target: int, n: int):
+    """Shortest sequence of LEGAL rotation deltas moving the labeling from
+    cur to target (BFS over compositions, depth <= 4 — sums of <= 3 legal
+    deltas already cover every residue for n >= 14). None if unreachable."""
+    net = (target - cur) % n
+    if net == 0:
+        return []
+    legal = range(_ROT_MIN_BITS, n - _ROT_MIN_BITS + 1)
+    frontier = {0: []}
+    for _ in range(4):
+        nxt = {}
+        for got, path in frontier.items():
+            for d in legal:
+                g2 = (got + d) % n
+                if g2 == net:
+                    return path + [d]
+                if g2 not in nxt:
+                    nxt[g2] = path + [d]
+        frontier = nxt
+    return None
+
+
+def schedule_rotations(wires_list, n: int):
+    """Trace-time relabel scheduler for planar gate chains.
+
+    Measured motivation (benchmarks/probe_wireclass.py, probe_transpose.py,
+    v5e n=24): gate groups with >= 2 mid/tail wires run 3-7x below the HBM
+    roofline — the kernel's masked low-bit combination does 2^nr-fold more
+    VPU arithmetic and compute, not memory, becomes the bound — while a
+    cyclic relabel transpose costs ~1-2 gate passes. So keep every group at
+    <= 1 roll wire by rotating the qubit labeling as the gate stream drifts
+    out of the head region: the on-chip analog of the distributed engine's
+    global/local qubit exchange (arXiv:2311.01512; reference
+    distributed.py's swap algorithms play this role across ranks).
+
+    Returns (plan, changed): plan entries are ('rot', delta) or
+    ('gate', idx, phys_wires) with phys_wires in the SAME element order as
+    wires_list[idx]. The plan always closes rotated back to the identity
+    labeling, so callers and observables see logical wire order. changed is
+    False when no rotation was worth emitting (plan is then gate-only).
+    """
+    H = n - _ROLL_LIMIT                   # head positions [0, H)
+    if H < 2 or n < 2 * _ROT_MIN_BITS:
+        return ([('gate', i, tuple(ws)) for i, ws in enumerate(wires_list)],
+                False)
+
+    def sim_cost(rot, start, budget):
+        """Greedy cost of the next `budget` groups under labeling `rot`,
+        without further relabels (scoring heuristic)."""
+        c = 0.0
+        for ws in wires_list[start:start + budget]:
+            c += _gate_cost([(w - rot) % n for w in ws], n)
+        return c
+
+    rot = 0
+    plan = []
+    changed = False
+    for idx, ws in enumerate(wires_list):
+        pw = [(w - rot) % n for w in ws]
+        if _roll_count(pw, n) >= 2:
+            # candidate labelings: each group wire (minus a small back-off)
+            # at position 0; scored over a lookahead window
+            cands = {(w - back) % n for w in ws for back in range(min(H, 3))}
+            best = (sim_cost(rot, idx, _LOOKAHEAD), rot, [])
+            for cand in cands:
+                path = _rot_path(rot, cand, n)
+                if not path:
+                    continue
+                cost = _ROT_COST * len(path) + sim_cost(cand, idx, _LOOKAHEAD)
+                if cost < best[0] - 1e-9:
+                    best = (cost, cand, path)
+            _, cand, path = best
+            for d in path:
+                plan.append(('rot', d))
+                changed = True
+            rot = cand
+            pw = [(w - rot) % n for w in ws]
+        plan.append(('gate', idx, tuple(pw)))
+    closing = _rot_path(rot, 0, n)
+    assert closing is not None, f'no legal closing rotation from {rot} (n={n})'
+    for d in closing:
+        plan.append(('rot', d))
+    return plan, changed
+
+
+def _use_sched() -> bool:
+    import os
+    return os.environ.get('DQ_SCHED', '1') != '0'
+
+
 # --------------------------------------------------------------- gate chains
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def planar_chain(x, mres, mims, n: int, wires_seq, interpret: bool = False):
@@ -757,10 +892,16 @@ def planar_chain(x, mres, mims, n: int, wires_seq, interpret: bool = False):
     state cotangent (U^H g) — every pass donates its buffer.
 
     mres/mims: tuples of (K_i, K_i) f32 planes in sorted-wire order;
-    wires_seq: tuple of sorted wire tuples.
+    wires_seq: tuple of sorted wire tuples — or ('rot', delta) relabel
+    entries from schedule_rotations (their mres/mims slots hold (1, 1)
+    zero placeholders to keep the pytrees aligned; rotations are constant
+    permutations, so their matrix cotangents are zero).
     """
     for mre, mim, ws in zip(mres, mims, wires_seq):
-        x = _planar_apply(x, mre, mim, n, ws, interpret)
+        if ws[0] == 'rot':
+            x = _rotate_planar(x, ws[1], n)
+        else:
+            x = _planar_apply(x, mre, mim, n, ws, interpret)
     return x
 
 
@@ -775,6 +916,14 @@ def _chain_bwd(n, wires_seq, interpret, res, g):
     dres = [None] * len(mres)
     dims = [None] * len(mres)
     for i in range(len(mres) - 1, -1, -1):
+        if wires_seq[i][0] == 'rot':
+            # un-rotate state and cotangent; a relabel is a constant
+            # permutation, so its matrix cotangent is zero
+            y = _rotate_planar(y, -wires_seq[i][1], n)
+            g = _rotate_planar(g, -wires_seq[i][1], n)
+            dres[i] = jnp.zeros_like(mres[i])
+            dims[i] = jnp.zeros_like(mims[i])
+            continue
         mre_t = _mT(mres[i])
         mim_t = -_mT(mims[i])
         if fused:
@@ -797,18 +946,26 @@ def planar_pauli_expectation(x, mres, mims, n: int, wires_seq, interpret: bool =
     k<=3-wire blocks. Forward: one kernel chain computes Px (x is copied once
     since it stays live for the inner product); backward: d/dx = 2 g * (Px)
     — a single elementwise pass, with Px reused from the forward residual.
-    Matrix cotangents are zero (observables are constants)."""
-    ox = x
-    for mre, mim, ws in zip(mres, mims, wires_seq):
-        ox = _planar_apply(ox, mre, mim, n, ws, interpret)
+    Matrix cotangents are zero (observables are constants). ('rot', delta)
+    relabel entries are allowed — schedule_rotations plans close back to the
+    identity labeling, so Px ends aligned with x for the inner product."""
+    ox = _pexp_chain(x, mres, mims, n, wires_seq, interpret)
     return jnp.sum(x[..., 0, :] * ox[..., 0, :] + x[..., 1, :] * ox[..., 1, :],
                    axis=-1)
 
 
-def _pexp_fwd(x, mres, mims, n, wires_seq, interpret):
+def _pexp_chain(x, mres, mims, n, wires_seq, interpret):
     ox = x
     for mre, mim, ws in zip(mres, mims, wires_seq):
-        ox = _planar_apply(ox, mre, mim, n, ws, interpret)
+        if ws[0] == 'rot':
+            ox = _rotate_planar(ox, ws[1], n)
+        else:
+            ox = _planar_apply(ox, mre, mim, n, ws, interpret)
+    return ox
+
+
+def _pexp_fwd(x, mres, mims, n, wires_seq, interpret):
+    ox = _pexp_chain(x, mres, mims, n, wires_seq, interpret)
     e = jnp.sum(x[..., 0, :] * ox[..., 0, :] + x[..., 1, :] * ox[..., 1, :],
                 axis=-1)
     return e, (ox, mres, mims)
@@ -920,12 +1077,52 @@ def planar_evolve_any(x, mre, mim, n: int, wires, interpret: bool = False):
     return planar_evolve_xla(x, mre, mim, n, ws)
 
 
+def schedule_planar_seq(mres, mims, wseq, n: int):
+    """Insert relabel rotations (schedule_rotations) into an already-sorted
+    planar chain spec. mres/mims: per-gate planes in sorted-LOGICAL-wire
+    order ((K, K) or batched (B, K, K)); wseq: sorted logical wire tuples.
+    Returns (mres', mims', wseq') where wseq' interleaves ('rot', delta)
+    entries (with (1, 1) zero plane placeholders) and each gate's planes are
+    re-permuted to sorted-PHYSICAL order under the labeling in effect."""
+    if not _use_sched():
+        return mres, mims, wseq
+    plan, changed = schedule_rotations(list(wseq), n)
+    if not changed:
+        return mres, mims, wseq
+    from .apply import permute_matrix_wires
+    out_r, out_i, out_w = [], [], []
+    dummy = jnp.zeros((1, 1), mres[0].dtype if mres else jnp.float32)
+    for ent in plan:
+        if ent[0] == 'rot':
+            out_r.append(dummy)
+            out_i.append(dummy)
+            out_w.append(('rot', ent[1]))
+            continue
+        _, i, pw = ent
+        mre, mim = mres[i], mims[i]
+        order = sorted(range(len(pw)), key=lambda j: pw[j])
+        if order != list(range(len(pw))):
+            if mre.ndim == 3:
+                mre = jax.vmap(lambda m: permute_matrix_wires(m, order))(mre)
+                mim = jax.vmap(lambda m: permute_matrix_wires(m, order))(mim)
+            else:
+                mre = permute_matrix_wires(mre, order)
+                mim = permute_matrix_wires(mim, order)
+        out_r.append(mre)
+        out_i.append(mim)
+        out_w.append(tuple(sorted(pw)))
+    return tuple(out_r), tuple(out_i), tuple(out_w)
+
+
 def planar_chain_matrices(x, matrices, wires_list, n: int, interpret: bool = False):
-    """Chain entry point for complex matrices in wires-list order."""
+    """Chain entry point for complex matrices in wires-list order. Applies
+    the relabel schedule (schedule_rotations) before launching the chain."""
     mres, mims, wseq = [], [], []
     for mat, ws in zip(matrices, wires_list):
         mre, mim = _sorted_mat_planes(mat, ws)
         mres.append(mre)
         mims.append(mim)
         wseq.append(tuple(sorted(ws)))
+    mres, mims, wseq = schedule_planar_seq(tuple(mres), tuple(mims),
+                                           tuple(wseq), n)
     return planar_chain(x, tuple(mres), tuple(mims), n, tuple(wseq), interpret)

@@ -1402,7 +1402,8 @@ class QumodeCircuit:
         from .draw import DrawCircuit
         ops = self._operators_tdm if (unroll and self._with_delay) else self.operators
         drawer = DrawCircuit(self.name, self._nmode_tdm if (unroll and self._with_delay) else self.nmode,
-                             ops, self.measurements)
+                             ops, self.measurements,
+                             params=np.asarray(self._pvals, np.float64))
         svg = drawer.draw()
         if filename:
             drawer.save(filename)

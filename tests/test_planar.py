@@ -377,3 +377,86 @@ def test_planar_batched_forward_expectation_grad(c64):
     np.testing.assert_allclose(s_planar, s_ref, atol=2e-6)
     np.testing.assert_allclose(e_planar, e_ref, atol=2e-6)
     np.testing.assert_allclose(g_planar, g_ref, atol=2e-6)
+
+
+def test_rotation_scheduler_plan():
+    """schedule_rotations invariants: legal deltas only, closes back to the
+    identity labeling, and every gate's physical wires are the rotated image
+    of its logical wires."""
+    from deepquantum_tpu.ops.planar_gate import (_rot_legal, _roll_count,
+                                                 schedule_rotations)
+    n = 16
+    wlists = []
+    for _ in range(2):
+        for i in range(n):
+            wlists.append((i,))
+        for i in range(n):
+            wlists.append(tuple(sorted((i, (i + 1) % n))))
+    plan, changed = schedule_rotations(wlists, n)
+    assert changed
+    rot = 0
+    gi = 0
+    slow = 0
+    for ent in plan:
+        if ent[0] == 'rot':
+            assert _rot_legal(ent[1], n), ent
+            rot = (rot + ent[1]) % n
+        else:
+            _, idx, pw = ent
+            assert idx == gi
+            assert pw == tuple((w - rot) % n for w in wlists[idx])
+            slow += _roll_count(pw, n) >= 2
+            gi += 1
+    assert gi == len(wlists)
+    assert rot == 0, 'plan must close back to identity labeling'
+    base_slow = sum(_roll_count(ws, n) >= 2 for ws in wlists)
+    assert slow < base_slow / 2, (slow, base_slow)
+
+
+def test_rotation_scheduler_circuit_parity(c64):
+    """VQE circuit at n >= 16 (scheduler engaged) through the planar chain:
+    state, expectation, and gradient match the einsum engine, and match the
+    DQ_SCHED=0 planar path."""
+    from deepquantum_tpu.ops.planar_gate import schedule_rotations
+    n = 16
+
+    def build():
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i)
+            cir.rz(i)
+        cir.cnot_ring()
+        cir.observable(list(range(n)), basis='x' * n)
+        return cir
+
+    cir = build()
+    wlists = [e[2] if e[0] == 'group' else tuple(e[1].wires)
+              for e in cir._fused_plan()]
+    _, changed = schedule_rotations(list(wlists), n)
+    assert changed, 'scheduler should engage on this plan'
+
+    p = cir.params
+    e_pl = np.asarray(cir.expectation(params=p))
+    g_pl = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+    s_pl = np.asarray(cir.forward(params=p)).reshape(-1)
+
+    os.environ['DQ_SCHED'] = '0'
+    try:
+        cir1 = build()
+        e_ns = np.asarray(cir1.expectation(params=p))
+        g_ns = np.asarray(jax.grad(lambda q: cir1.expectation(params=q)[0])(p))
+    finally:
+        os.environ.pop('DQ_SCHED', None)
+
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = build()
+    e_ref = np.asarray(cir2.expectation(params=p))
+    g_ref = np.asarray(jax.grad(lambda q: cir2.expectation(params=q)[0])(p))
+    s_ref = np.asarray(cir2.forward(params=p)).reshape(-1)
+    os.environ['DQ_PLANAR'] = '1'
+
+    np.testing.assert_allclose(e_pl, e_ref, atol=1e-5)
+    np.testing.assert_allclose(g_pl, g_ref, atol=1e-4)
+    np.testing.assert_allclose(s_pl, s_ref, atol=1e-5)
+    np.testing.assert_allclose(e_pl, e_ns, atol=1e-5)
+    np.testing.assert_allclose(g_pl, g_ns, atol=1e-4)
