@@ -185,12 +185,17 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
     # rows are non-monotonic across the engine threshold (e.g. n6_l10 >
     # n10_l10): n >= 10 rides the planar Pallas kernel, below it the XLA
     # einsum path — tag the boundary so readers see a threshold, not a bug
-    out = {'_engine': {'planar_from_n': 10,
-                       'note': 'rows with n >= planar_from_n run the planar '
-                               'Pallas engine; smaller n run the XLA einsum '
-                               'path (planar_supported, ops/planar_gate.py)'}}
+    out = _merge_row('gradient_ms', '_engine', {
+        'planar_from_n': 10,
+        'note': 'rows with n >= planar_from_n run the planar '
+                'Pallas engine; smaller n run the XLA einsum '
+                'path (planar_supported, ops/planar_gate.py)'})
     for nlayer in grid[1]:
         for n in grid[0]:
+            rk = f'n{n}_l{nlayer}'
+            if _skip_cell(out.get(rk)):
+                print(f'gradient {rk}: cached {out[rk]}')
+                continue
             # no residual-memory cap needed: on TPU at n >= 12 the planar
             # chain VJP keeps O(1) state memory (ops/planar_gate.py)
             cir = _build_vqe(n, nlayer)
@@ -206,7 +211,7 @@ def bench_gradient(grid=((2, 6, 10, 14, 18, 22), (1, 5, 10)), steps=20):
 
             with _maybe_profile(f'gradient_n{n}_l{nlayer}'):
                 ms = _scan_time(make_loop, cir.params, steps)
-            out[f'n{n}_l{nlayer}'] = ms
+            out = _merge_row('gradient_ms', rk, ms)
             print(f'gradient n={n} l={nlayer}: {ms:.3f} ms/step')
     return out
 
@@ -272,8 +277,12 @@ def bench_gradient_adjoint(ns=(14, 18), nlayer=5, steps=5):
     n > 14, so a repeat loses nothing already recorded."""
     import jax
     from deepquantum_tpu.adjoint import make_adjoint_expectation
-    out = {}
+    out = dict(_recorded('gradient_adjoint_ms'))
     for n in ns:
+        rk = f'n{n}_l{nlayer}'
+        if _skip_cell(out.get(rk)):
+            print(f'gradient_adjoint {rk}: cached {out[rk]}')
+            continue
         cir = _build_vqe(n, nlayer)
         try:
             t_build = time.perf_counter()
@@ -290,11 +299,12 @@ def bench_gradient_adjoint(ns=(14, 18), nlayer=5, steps=5):
 
             with _maybe_profile(f'adjoint_n{n}_l{nlayer}'):
                 ms = _scan_time(make_loop, cir.params, steps)
-            out[f'n{n}_l{nlayer}'] = ms
+            out = _merge_row('gradient_adjoint_ms', rk, ms)
             print(f'gradient_adjoint n={n} l={nlayer}: {ms:.2f} ms/step '
                   f'(build+compile {time.perf_counter() - t_build:.1f}s)')
         except Exception as e:  # noqa: BLE001 — record partial sweeps
             print(f'gradient_adjoint n={n}: failed ({type(e).__name__}: {e})')
+            out = _merge_row('gradient_adjoint_ms', rk, _FAILED)
             break
     return out
 
@@ -308,8 +318,12 @@ def bench_gradient_large(ns=(24, 26, 28), nlayer=2, steps=4):
     BASELINE.md 30-qubit-scale north star on ONE chip; beyond that the
     GSPMD/shard_map engines split the amplitude axis over the mesh."""
     import jax
-    out = {}
+    out = dict(_recorded('gradient_large_ms'))
     for n in ns:
+        rk = f'n{n}_l{nlayer}'
+        if _skip_cell(out.get(rk)):
+            print(f'gradient_large {rk}: cached {out[rk]}')
+            continue
         cir = _build_vqe(n, nlayer)
         grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
 
@@ -324,10 +338,11 @@ def bench_gradient_large(ns=(24, 26, 28), nlayer=2, steps=4):
         try:
             with _maybe_profile(f'gradient_large_n{n}'):
                 ms = _scan_time(make_loop, cir.params, steps)
-            out[f'n{n}_l{nlayer}'] = ms
+            out = _merge_row('gradient_large_ms', rk, ms)
             print(f'gradient_large n={n} l={nlayer}: {ms:.2f} ms/step')
         except Exception as e:  # noqa: BLE001
             print(f'gradient_large n={n}: failed ({type(e).__name__}: {str(e)[:120]})')
+            out = _merge_row('gradient_large_ms', rk, _FAILED)
             break
     return out
 
@@ -336,8 +351,12 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
     """Measured effect of the greedy K-wire fusion on the grad step
     (round-1 review asked for the delta to be measured, not claimed)."""
     import jax
-    out = {}
+    out = dict(_recorded('fusion_ablation_ms'))
     for K in (1, 2, 3):
+        rk = f'K{K}'
+        if _skip_cell(out.get(rk)):
+            print(f'fusion {rk}: cached {out[rk]}')
+            continue
         cir = _build_vqe(n, nlayer)
         cir.fuse_max_support = K
         grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
@@ -351,7 +370,7 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
             return loop
 
         ms = _scan_time(make_loop, cir.params, steps)
-        out[f'K{K}'] = ms
+        out = _merge_row('fusion_ablation_ms', rk, ms)
         print(f'fusion n={n} l={nlayer} K={K}: {ms:.2f} ms/step')
     return out
 
@@ -496,10 +515,14 @@ def bench_batched_qml(n=14, nlayer=2, batch=100, steps=5):
         cir.observable(0)
         return cir
 
-    out = {}
+    out = dict(_recorded('batched_qml_grad_ms'))
     prev = os.environ.get('DQ_PLANAR')
     try:
         for planar in (1, 0):
+            rk = f'planar{planar}'
+            if _skip_cell(out.get(rk)):
+                print(f'batched_qml {rk}: cached {out[rk]}')
+                continue
             os.environ['DQ_PLANAR'] = str(planar)
             cir = build()
             grad_fn = jax.value_and_grad(
@@ -518,9 +541,9 @@ def bench_batched_qml(n=14, nlayer=2, batch=100, steps=5):
             except Exception as e:  # noqa: BLE001
                 print(f'batched_qml planar={planar}: failed '
                       f'({type(e).__name__}: {str(e)[:100]})')
-                out[f'planar{planar}'] = None
+                out = _merge_row('batched_qml_grad_ms', rk, _FAILED)
                 continue
-            out[f'planar{planar}'] = ms
+            out = _merge_row('batched_qml_grad_ms', rk, ms)
             print(f'batched_qml n={n} l={nlayer} B={batch} planar={planar}: '
                   f'{ms:.2f} ms/step')
     finally:
@@ -551,10 +574,14 @@ def bench_denmat(n=12, nlayer=3, steps=5):
         cir.observable(list(range(n)), basis='x' * n)
         return cir
 
-    out = {}
+    out = dict(_recorded('denmat_grad_ms'))
     prev = os.environ.get('DQ_PLANAR')
     try:
         for planar in (1, 0):
+            rk = f'planar{planar}'
+            if _skip_cell(out.get(rk)):
+                print(f'denmat {rk}: cached {out[rk]}')
+                continue
             os.environ['DQ_PLANAR'] = str(planar)
             cir = build()
             grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
@@ -572,9 +599,9 @@ def bench_denmat(n=12, nlayer=3, steps=5):
             except Exception as e:  # noqa: BLE001
                 print(f'denmat planar={planar}: failed ({type(e).__name__}: '
                       f'{str(e)[:100]})')
-                out[f'planar{planar}'] = None
+                out = _merge_row('denmat_grad_ms', rk, _FAILED)
                 continue
-            out[f'planar{planar}'] = ms
+            out = _merge_row('denmat_grad_ms', rk, ms)
             print(f'denmat n={n} l={nlayer} planar={planar}: {ms:.2f} ms/step')
     finally:
         if prev is None:
@@ -589,9 +616,13 @@ def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
     the reference's n x layer grid (3*n*l parameters per cell). Cells whose
     Hessian exceeds the memory guard are skipped and recorded as such."""
     import jax
-    out = {}
+    out = dict(_recorded('hessian_ms'))
     for nlayer in grid[1]:
         for n in grid[0]:
+            rk = f'n{n}_l{nlayer}'
+            if _skip_cell(out.get(rk)):
+                print(f'hessian {rk}: cached {out[rk]}')
+                continue
             npara = 3 * n * nlayer
             # forward-over-reverse vmaps npara tangents over the grad graph:
             # ~npara * 2 states of 2^n c64 live at once
@@ -599,7 +630,7 @@ def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
             if est_gb > 8.0:
                 print(f'hessian n={n} l={nlayer}: skipped (~{est_gb:.0f} GB '
                       f'forward-over-reverse working set)')
-                out[f'n{n}_l{nlayer}'] = None
+                out = _merge_row('hessian_ms', rk, _FAILED)
                 continue
             cir = _build_vqe(n, nlayer)
             hess_fn = jax.hessian(lambda p: cir.expectation(params=p)[0])
@@ -617,9 +648,9 @@ def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
                     ms = _scan_time(make_loop, cir.params, steps)
             except Exception as e:  # noqa: BLE001
                 print(f'hessian n={n} l={nlayer}: failed ({type(e).__name__})')
-                out[f'n{n}_l{nlayer}'] = None
+                out = _merge_row('hessian_ms', rk, _FAILED)
                 continue
-            out[f'n{n}_l{nlayer}'] = ms
+            out = _merge_row('hessian_ms', rk, ms)
             print(f'hessian n={n} l={nlayer}: {ms:.2f} ms')
     return out
 
@@ -673,14 +704,34 @@ def bench_gate_apply_roofline(ns=(24, 26), ngate=64):
                     return jax.lax.scan(body, xb, None, length=k // len(wsets))[0]
                 return loop
 
+            # scheduled chain: the SAME drifting-wire gate stream through
+            # schedule_planar_seq + planar_chain — records how far the
+            # wire-relabel scheduler closes the scan-vs-bare gap on gate
+            # streams whose wires leave the head region (the real-circuit
+            # case; the (9,10,11) group has 2 mid wires at n=24)
+            from deepquantum_tpu.ops.planar_gate import (planar_chain,
+                                                         schedule_planar_seq)
+            mres0 = tuple(mre for _ in wsets)
+            mims0 = tuple(mim for _ in wsets)
+            smres, smims, swseq = schedule_planar_seq(mres0, mims0,
+                                                      tuple(wsets), n)
+
+            def make_sched(k):
+                def loop(x):
+                    def body(x, _):
+                        return planar_chain(x, smres, smims, n, swseq), None
+                    return jax.lax.scan(body, x, None, length=k // len(wsets))[0]
+                return loop
+
             # make_loop(k) applies k gates total (k/4 scan steps x 4 gates),
             # so _scan_time's per-step division already yields ms per gate
             x0 = jnp.linspace(0, 1, 2 << n, dtype=jnp.float32).reshape(2, 1 << n)
             ms = _scan_time(make_loop, x0, ngate)
             ms_bare = _scan_time(make_bare, x0.reshape(bshape), ngate)
+            ms_sched = _scan_time(make_sched, x0, ngate)
             bytes_moved = 2 * 8 * (1 << n)
             row = {}
-            for tag, m in (('scan', ms), ('bare', ms_bare)):
+            for tag, m in (('scan', ms), ('bare', ms_bare), ('sched', ms_sched)):
                 gbps = bytes_moved / (m * 1e-3) / 1e9
                 row[f'ms_per_gate_{tag}'] = m
                 row[f'achieved_gbps_{tag}'] = gbps

@@ -26,6 +26,7 @@ from .ops.apply import (
     evolve_state,
     evolve_state_controlled,
 )
+from .ops.planar_gate import fwd_ad_active as _fwd_ad
 from .ops.qmath import (
     amplitude_encoding,
     expectation_pauli,
@@ -822,7 +823,7 @@ class QubitCircuit:
     def _sim_tensor(self, full_params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Pure simulation over a state tensor (2,)*n (or (2,)*2n for den_mat)."""
         n = self.nqubit
-        if self._planar_ok():
+        if self._planar_ok() and not _fwd_ad(full_params, x):
             if self.den_mat:
                 return self._sim_planar_dm(full_params, x)
             return self._sim_planar(full_params, x)
@@ -906,7 +907,14 @@ class QubitCircuit:
             single = state.ndim == 1 or (state.ndim == 2 and state.shape[-1] == 1)
         if self.ndata == 0:
             data = None
-        key = ('fwd', self._version, None if data is None else jnp.shape(data), single)
+        # forward-mode transforms (jax.hessian = jacfwd(jacrev)) cannot cross
+        # the planar chain's custom_vjp; the check must happen HERE, at the
+        # Python call boundary, because inside jax.jit the function is traced
+        # abstractly once and the jvp is applied at the jaxpr level — inner
+        # code never sees a JVPTracer (ops/planar_gate.py::fwd_ad_active)
+        fwd_mode = _fwd_ad(params, data, state)
+        key = ('fwd', self._version, None if data is None else jnp.shape(data),
+               single, fwd_mode)
         fn = self._cache.get(key)
         if fn is None:
             def run(params_, data_, state_):
@@ -936,15 +944,21 @@ class QubitCircuit:
                     out = self._sim_planar_batched(fulls, states)
                     return out.reshape(data_.shape[0], dim, 1)
                 in_axes = (0, None) if single else (0, 0)
+                prev_ = getattr(self, '_planar_block', False)
                 self._planar_block = True      # pallas kernels don't vmap
                 try:
                     return jax.vmap(one, in_axes=in_axes)(data_, state_)
                 finally:
-                    self._planar_block = False
+                    self._planar_block = prev_
             fn = jax.jit(run, static_argnames=())
             self._cache[key] = fn
         ptree = None if params is None else jnp.asarray(params, dtype=rdtype())
-        self.state = fn(ptree, data, state)
+        prev = getattr(self, '_planar_block', False)
+        self._planar_block = prev or fwd_mode   # seen by run() at trace time
+        try:
+            self.state = fn(ptree, data, state)
+        finally:
+            self._planar_block = prev
         return self.state
 
     def _forward_mps(self, data=None, state=None, params=None):
@@ -1020,7 +1034,7 @@ class QubitCircuit:
                 for obs in self.observables:
                     ox = obs.apply(x, den_mat=True)
                     vals.append(jnp.trace(ox.reshape(2 ** n, 2 ** n)).real)
-            elif self._planar_ok():
+            elif self._planar_ok() and not _fwd_ad(s):
                 # Pauli strings grouped into <=3-wire constant blocks, run
                 # through the planar engine: fwd = one kernel chain (Px),
                 # bwd = one elementwise pass (2*Px) — no complex einsums
@@ -1047,7 +1061,7 @@ class QubitCircuit:
                     vals.append(expectation_pauli(x, ox))
             return jnp.stack(vals, axis=-1)
         batched = (state.ndim == 3)
-        if batched and not den and self._planar_ok():
+        if batched and not den and self._planar_ok() and not _fwd_ad(state):
             # batched planar Pauli expectation: batch on the kernel grid
             # (pallas does not vmap); obs planes broadcast across the batch
             def fn(states):

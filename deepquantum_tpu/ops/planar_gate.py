@@ -52,7 +52,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['planar_evolve', 'to_planar', 'from_planar', 'planar_supported']
+__all__ = ['planar_evolve', 'to_planar', 'from_planar', 'planar_supported',
+           'fwd_ad_active']
 
 _T_BITS = 7            # lane block: T = 128
 _T = 1 << _T_BITS
@@ -83,6 +84,39 @@ def to_planar_batched(psi: jnp.ndarray) -> jnp.ndarray:
 def planar_supported(n: int, wires) -> bool:
     """The kernel handles k <= 3 distinct wires on n >= 10 qubits."""
     return 10 <= n and 1 <= len(set(wires)) <= 3
+
+
+def fwd_ad_active(*vals) -> bool:
+    """True when any value carries a forward-mode (JVP) trace.
+
+    The planar chain differentiates through a chain-level custom_vjp, which
+    JAX cannot forward-differentiate (and the pallas aliasing has no JVP
+    rule), so second-order transforms like jax.hessian = jacfwd(jacrev(f))
+    must route to the XLA einsum path. Detected per-trace: circuits stay on
+    the planar engine under plain jit/grad and drop to einsum only inside a
+    jvp/jacfwd transform (reference metric this serves:
+    benchmark_v420/hessian/hessian_deepquantum.py)."""
+    try:
+        from jax.interpreters.ad import JVPTracer
+    except ImportError:  # pragma: no cover — moved in newer JAX
+        from jax._src.interpreters.ad import JVPTracer
+
+    def carries(v):
+        depth = 0
+        while isinstance(v, jax.core.Tracer) and depth < 32:
+            if isinstance(v, JVPTracer):
+                return True
+            # unwrap one layer: BatchTracer.val, JVPTracer.primal, etc.
+            inner = getattr(v, 'val', None)
+            if inner is None:
+                inner = getattr(v, 'primal', None)
+            if inner is None:
+                return False
+            v = inner
+            depth += 1
+        return False
+
+    return any(carries(v) for v in vals if v is not None)
 
 
 def _classify(n: int, wires_sorted):
@@ -900,6 +934,9 @@ def planar_chain(x, mres, mims, n: int, wires_seq, interpret: bool = False):
     for mre, mim, ws in zip(mres, mims, wires_seq):
         if ws[0] == 'rot':
             x = _rotate_planar(x, ws[1], n)
+        elif ws[0] == 'win':
+            from .window_gate import window_apply
+            x = window_apply(x, mre, mim, n, ws[1], interpret)
         else:
             x = _planar_apply(x, mre, mim, n, ws, interpret)
     return x
@@ -923,6 +960,19 @@ def _chain_bwd(n, wires_seq, interpret, res, g):
             g = _rotate_planar(g, -wires_seq[i][1], n)
             dres[i] = jnp.zeros_like(mres[i])
             dims[i] = jnp.zeros_like(mims[i])
+            continue
+        if wires_seq[i][0] == 'win':
+            # dense window: recompute input (W^H y), window-plane cotangent
+            # via two MXU matmuls, then propagate g = W^H g; autodiff
+            # carries dW back through the embedding product to gate params
+            from .window_gate import window_apply, window_grad
+            w = wires_seq[i][1]
+            wre_t = _mT(mres[i])
+            wim_t = -_mT(mims[i])
+            x = window_apply(y, wre_t, wim_t, n, w, interpret)
+            dres[i], dims[i] = window_grad(g, x, n, w)
+            g = window_apply(g, wre_t, wim_t, n, w, interpret)
+            y = x
             continue
         mre_t = _mT(mres[i])
         mim_t = -_mT(mims[i])
@@ -959,6 +1009,9 @@ def _pexp_chain(x, mres, mims, n, wires_seq, interpret):
     for mre, mim, ws in zip(mres, mims, wires_seq):
         if ws[0] == 'rot':
             ox = _rotate_planar(ox, ws[1], n)
+        elif ws[0] == 'win':
+            from .window_gate import window_apply
+            ox = window_apply(ox, mre, mim, n, ws[1], interpret)
         else:
             ox = _planar_apply(ox, mre, mim, n, ws, interpret)
     return ox
@@ -1083,9 +1136,18 @@ def schedule_planar_seq(mres, mims, wseq, n: int):
     order ((K, K) or batched (B, K, K)); wseq: sorted logical wire tuples.
     Returns (mres', mims', wseq') where wseq' interleaves ('rot', delta)
     entries (with (1, 1) zero plane placeholders) and each gate's planes are
-    re-permuted to sorted-PHYSICAL order under the labeling in effect."""
+    re-permuted to sorted-PHYSICAL order under the labeling in effect.
+
+    When the MXU window engine is enabled (DQ_WINDOW, ops/window_gate.py)
+    and applicable, gate RUNS are instead collapsed into dense 2^w x 2^w
+    window unitaries (('win', w) entries) — one matmul sweep per run."""
     if not _use_sched():
         return mres, mims, wseq
+    from .window_gate import _use_window, schedule_window_seq
+    if _use_window():
+        win = schedule_window_seq(mres, mims, wseq, n)
+        if win is not None:
+            return win
     plan, changed = schedule_rotations(list(wseq), n)
     if not changed:
         return mres, mims, wseq

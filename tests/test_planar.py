@@ -460,3 +460,118 @@ def test_rotation_scheduler_circuit_parity(c64):
     np.testing.assert_allclose(s_pl, s_ref, atol=1e-5)
     np.testing.assert_allclose(e_pl, e_ns, atol=1e-5)
     np.testing.assert_allclose(g_pl, g_ns, atol=1e-4)
+
+
+def test_window_plan():
+    """Greedy window plan: every gate windowed or explicitly fallback, plan
+    closes to identity labeling, and a nearest-neighbour sweep collapses to
+    few windows."""
+    from deepquantum_tpu.ops.window_gate import plan_windows
+    n, w = 20, 7
+    # nearest-neighbour ladder: (0,1), (1,2), ..., (18,19) — should window
+    # in ~ceil(19/6) runs (each relabel exposes 6 fresh pair slots)
+    wseq = [(i, i + 1) for i in range(n - 1)]
+    plan, n_windowed = plan_windows(tuple(wseq), n, w)
+    assert n_windowed == len(wseq)
+    n_win = sum(1 for e in plan if e[0] == 'win')
+    assert n_win <= 5, plan
+    rot = 0
+    seen = []
+    for ent in plan:
+        if ent[0] == 'rot':
+            rot = (rot + ent[1]) % n
+        elif ent[0] == 'win':
+            seen.extend(ent[1])
+    assert rot == 0
+    assert seen == list(range(len(wseq)))
+    # a full-span gate the window cannot hold falls back per-gate
+    plan2, nw2 = plan_windows(((0, n // 2 - 1, n - 1),), n, w)
+    assert nw2 == 0
+    assert [e[0] for e in plan2 if e[0] != 'rot'] == ['gate']
+
+
+def test_window_circuit_parity(c64):
+    """VQE circuit at n = 14 (window engine engaged) — state, expectation,
+    gradient parity vs DQ_WINDOW=0 planar and vs the einsum engine."""
+    from deepquantum_tpu.ops.window_gate import plan_windows, window_width
+    n = 14
+
+    def build():
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i)
+            cir.ry(i)
+        cir.cnot_ring()
+        for i in range(0, n - 1, 2):
+            cir.rzz([i, i + 1])
+        cir.observable(list(range(n)), basis='x' * n)
+        cir.observable(0, basis='z')
+        return cir
+
+    cir = build()
+    assert cir._planar_ok()
+    wlists = [e[2] if e[0] == 'group' else tuple(e[1].wires)
+              for e in cir._fused_plan()]
+    _, n_windowed = plan_windows(tuple(wlists), n, window_width(n))
+    assert n_windowed > 0, 'window engine should engage on this plan'
+
+    p = cir.params
+    e_win = np.asarray(cir.expectation(params=p))
+    g_win = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+    s_win = np.asarray(cir.forward(params=p)).reshape(-1)
+
+    os.environ['DQ_WINDOW'] = '0'
+    try:
+        cir1 = build()
+        e_pl = np.asarray(cir1.expectation(params=p))
+        g_pl = np.asarray(jax.grad(lambda q: cir1.expectation(params=q)[0])(p))
+        s_pl = np.asarray(cir1.forward(params=p)).reshape(-1)
+    finally:
+        os.environ.pop('DQ_WINDOW', None)
+
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = build()
+    e_ref = np.asarray(cir2.expectation(params=p))
+    g_ref = np.asarray(jax.grad(lambda q: cir2.expectation(params=q)[0])(p))
+    os.environ['DQ_PLANAR'] = '1'
+
+    np.testing.assert_allclose(s_win, s_pl, atol=1e-5)
+    np.testing.assert_allclose(e_win, e_pl, atol=1e-5)
+    np.testing.assert_allclose(g_win, g_pl, atol=1e-4)
+    np.testing.assert_allclose(e_win, e_ref, atol=1e-5)
+    np.testing.assert_allclose(g_win, g_ref, atol=1e-4)
+
+
+def test_planar_hessian_fwd_ad_fallback(c64):
+    """jax.hessian (forward-over-reverse) cannot cross the planar chain's
+    custom_vjp: the circuit must detect the JVP trace at the call boundary
+    and fall back to the einsum path — while plain grad stays planar.
+    Reference metric served: benchmark_v420/hessian/hessian_deepquantum.py."""
+    n = 10
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.rx(i)
+    cir.cnot_ring()
+    cir.observable(0, basis='z')
+    assert cir._planar_ok()
+    f = lambda q: cir.expectation(params=q)[0]
+    p = cir.params
+    h = np.asarray(jax.hessian(f)(p))
+    assert h.shape == (n, n)
+    # parity: hessian row vs finite difference of the (planar) gradient
+    eps = 1e-3
+    i = 3
+    gp = np.asarray(jax.grad(f)(p.at[i].add(eps)))
+    gm = np.asarray(jax.grad(f)(p.at[i].add(-eps)))
+    np.testing.assert_allclose((gp - gm) / (2 * eps), h[i], atol=5e-3)
+    # grad after hessian still routes planar and matches
+    g1 = np.asarray(jax.grad(f)(p))
+    os.environ['DQ_PLANAR'] = '0'
+    cir2 = dq.QubitCircuit(n)
+    for j in range(n):
+        cir2.rx(j)
+    cir2.cnot_ring()
+    cir2.observable(0, basis='z')
+    g2 = np.asarray(jax.grad(lambda q: cir2.expectation(params=q)[0])(p))
+    os.environ['DQ_PLANAR'] = '1'
+    np.testing.assert_allclose(g1, g2, atol=1e-4)
