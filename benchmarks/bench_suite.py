@@ -349,29 +349,91 @@ def bench_gradient_large(ns=(24, 26, 28), nlayer=2, steps=4):
 
 def bench_fusion_ablation(n=22, nlayer=5, steps=10):
     """Measured effect of the greedy K-wire fusion on the grad step
-    (round-1 review asked for the delta to be measured, not claimed)."""
+    (round-1 review asked for the delta to be measured, not claimed).
+
+    Pins DQ_WINDOW=0: this section ablates the PER-GATE planar kernel
+    stream; with the MXU window engine on, gate runs collapse into dense
+    windows and K stops being the variable under test."""
+    import os
+
     import jax
     out = dict(_recorded('fusion_ablation_ms'))
-    for K in (1, 2, 3):
-        rk = f'K{K}'
-        if _skip_cell(out.get(rk)):
-            print(f'fusion {rk}: cached {out[rk]}')
-            continue
-        cir = _build_vqe(n, nlayer)
-        cir.fuse_max_support = K
-        grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+    prev_w = os.environ.get('DQ_WINDOW')
+    os.environ['DQ_WINDOW'] = '0'
+    try:
+        for K in (1, 2, 3):
+            rk = f'K{K}'
+            if _skip_cell(out.get(rk)):
+                print(f'fusion {rk}: cached {out[rk]}')
+                continue
+            cir = _build_vqe(n, nlayer)
+            cir.fuse_max_support = K
+            grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
 
-        def make_loop(k):
-            def loop(p):
-                def body(p, _):
-                    _, g = grad_fn(p)
-                    return p - 1e-3 * g, None
-                return jax.lax.scan(body, p, None, length=k)[0]
-            return loop
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        _, g = grad_fn(p)
+                        return p - 1e-3 * g, None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
 
-        ms = _scan_time(make_loop, cir.params, steps)
-        out = _merge_row('fusion_ablation_ms', rk, ms)
-        print(f'fusion n={n} l={nlayer} K={K}: {ms:.2f} ms/step')
+            ms = _scan_time(make_loop, cir.params, steps)
+            out = _merge_row('fusion_ablation_ms', rk, ms)
+            print(f'fusion n={n} l={nlayer} K={K}: {ms:.2f} ms/step')
+    finally:
+        if prev_w is None:
+            os.environ.pop('DQ_WINDOW', None)
+        else:
+            os.environ['DQ_WINDOW'] = prev_w
+    return out
+
+
+def bench_window_ablation(steps=10):
+    """MXU window engine A/B (ops/window_gate.py): the same VQE grad step
+    with DQ_WINDOW off (per-gate planar kernels + relabel scheduler) vs on
+    (gate runs collapsed into dense 2^w unitaries, one matmul sweep each).
+    Grid matches the headline (n18_l5) and the large single-chip row
+    (n24_l2). The window engine engages at n >= 14."""
+    import os
+
+    import jax
+    out = dict(_recorded('window_ablation_ms'))
+    prev_w = os.environ.get('DQ_WINDOW')
+    try:
+        for n, nlayer in ((18, 5), (24, 2)):
+            for win in (0, 1):
+                rk = f'n{n}_l{nlayer}_win{win}'
+                if _skip_cell(out.get(rk)):
+                    print(f'window {rk}: cached {out[rk]}')
+                    continue
+                os.environ['DQ_WINDOW'] = str(win)
+                cir = _build_vqe(n, nlayer)
+                grad_fn = jax.value_and_grad(
+                    lambda p: cir.expectation(params=p)[0])
+
+                def make_loop(k):
+                    def loop(p):
+                        def body(p, _):
+                            _, g = grad_fn(p)
+                            return p - 1e-3 * g, None
+                        return jax.lax.scan(body, p, None, length=k)[0]
+                    return loop
+
+                try:
+                    ms = _scan_time(make_loop, cir.params, steps)
+                except Exception as e:  # noqa: BLE001 — record partial grids
+                    print(f'window {rk}: failed ({type(e).__name__}: '
+                          f'{str(e)[:100]})')
+                    out = _merge_row('window_ablation_ms', rk, _FAILED)
+                    continue
+                out = _merge_row('window_ablation_ms', rk, ms)
+                print(f'window n={n} l={nlayer} win={win}: {ms:.2f} ms/step')
+    finally:
+        if prev_w is None:
+            os.environ.pop('DQ_WINDOW', None)
+        else:
+            os.environ['DQ_WINDOW'] = prev_w
     return out
 
 
@@ -404,6 +466,10 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
             out.update(json.load(f).get('grad_mxu_ablation_ms') or {})
     prev = os.environ.get('DQ_GRAD_MXU')
     prev_f = os.environ.get('DQ_FUSED_BWD')
+    prev_w = os.environ.get('DQ_WINDOW')
+    # this grid ablates the PER-GATE backward kernels; the MXU window engine
+    # would collapse the gate stream and mask the variables under test
+    os.environ['DQ_WINDOW'] = '0'
 
     def _flush():
         # each cell is a multi-minute compile on the tunneled chip and the
@@ -486,6 +552,10 @@ def bench_grad_mxu_ablation(n=22, nlayer=5, steps=10, acc_n=16):
             os.environ.pop('DQ_FUSED_BWD', None)
         else:
             os.environ['DQ_FUSED_BWD'] = prev_f
+        if prev_w is None:
+            os.environ.pop('DQ_WINDOW', None)
+        else:
+            os.environ['DQ_WINDOW'] = prev_w
     return out
 
 
@@ -1277,6 +1347,7 @@ SECTIONS = {
     'gradient': ('gradient_ms', bench_gradient),
     'gradient_large': ('gradient_large_ms', bench_gradient_large),
     'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
+    'window': ('window_ablation_ms', bench_window_ablation),
     'grad_mxu': ('grad_mxu_ablation_ms', bench_grad_mxu_ablation),
     'denmat': ('denmat_grad_ms', bench_denmat),
     'batched_qml': ('batched_qml_grad_ms', bench_batched_qml),

@@ -745,10 +745,25 @@ class QubitCircuit:
 
         for entry in self._fused_plan():
             if entry[0] == 'op' and entry[1].kind == 'channel':
+                op = entry[1]
                 p = flush(p)
-                rho = from_planar(p).reshape([2] * nn)
-                rho = self._apply_op(entry[1], full_params, rho)
-                p = to_planar(rho.reshape(-1))
+                if 2 * len(op.wires) <= 3:
+                    # rho' = sum_k K rho K^dag is LINEAR in rho: one 4^k
+                    # superoperator M = sum_k K (x) conj(K) on the planar
+                    # wire pair (w, w+n), applied as a single (non-unitary)
+                    # aliased kernel — no 2n-d dense transposes, which kill
+                    # the TPU compile helper at nn >= 24
+                    from .ops.planar_gate import planar_superop_matrix
+                    kraus = jnp.asarray(op.matrix(full_params), cdtype())
+                    k = len(op.wires)
+                    sop = jnp.einsum('zab,zcd->acbd', kraus, jnp.conj(kraus))
+                    sop = sop.reshape(2 ** (2 * k), 2 ** (2 * k))
+                    swires = list(op.wires) + [w + n for w in op.wires]
+                    p = planar_superop_matrix(p, sop, nn, swires, interp)
+                else:
+                    rho = from_planar(p).reshape([2] * nn)
+                    rho = self._apply_op(op, full_params, rho)
+                    p = to_planar(rho.reshape(-1))
                 continue
             if entry[0] == 'op':
                 op = entry[1]
@@ -797,9 +812,24 @@ class QubitCircuit:
             if entry[0] == 'op' and entry[1].kind == 'channel':
                 op = entry[1]
                 p = flush(p)
-                rho = from_planar(p).reshape((bsz,) + (2,) * nn)
-                rho = jax.vmap(lambda fp, r: self._apply_op(op, fp, r))(fulls, rho)
-                p = to_planar_batched(rho.reshape(bsz, -1))
+                if 2 * len(op.wires) <= 3:
+                    # per-sample 4^k superoperators on (w, w+n), batch on
+                    # the kernel grid axis (same as the unitary chain)
+                    from .ops.planar_gate import planar_superop
+                    kraus = jax.vmap(lambda fp: jnp.asarray(
+                        op.matrix(fp), cdtype()))(fulls)
+                    k = len(op.wires)
+                    sop = jnp.einsum('Bzab,Bzcd->Bacbd', kraus,
+                                     jnp.conj(kraus))
+                    sop = sop.reshape(bsz, 2 ** (2 * k), 2 ** (2 * k))
+                    swires = list(op.wires) + [w + n for w in op.wires]
+                    sre, sim = _sorted_mat_planes(sop, swires)
+                    p = planar_superop(p, sre, sim, nn,
+                                       tuple(sorted(swires)), interp)
+                else:
+                    rho = from_planar(p).reshape((bsz,) + (2,) * nn)
+                    rho = jax.vmap(lambda fp, r: self._apply_op(op, fp, r))(fulls, rho)
+                    p = to_planar_batched(rho.reshape(bsz, -1))
                 continue
             if entry[0] == 'op':
                 op = entry[1]
@@ -1029,6 +1059,31 @@ class QubitCircuit:
         den = self.den_mat
         def one_state_expvals(s):
             if den:
+                if self._planar_ok() and not _fwd_ad(s):
+                    # tr(O rho): apply the Pauli blocks to the ROW wires of
+                    # the 2n-qubit planar rho (one kernel chain), then sum
+                    # the real-plane diagonal — no 2n-d dense transposes
+                    # (those kill the TPU compile helper at nn >= 24)
+                    from .ops.planar_gate import (planar_chain,
+                                                  schedule_planar_seq,
+                                                  to_planar)
+                    nn = 2 * n
+                    interp = jax.default_backend() != 'tpu'
+                    xp = to_planar(s.reshape(-1))
+                    dim = 2 ** n
+                    vals = []
+                    for obs in self.observables:
+                        mres, mims, wseq = [], [], []
+                        for mat, wires in _pauli_obs_blocks(obs):
+                            mres.append(jnp.asarray(mat.real, jnp.float32))
+                            mims.append(jnp.asarray(mat.imag, jnp.float32))
+                            wseq.append(wires)
+                        mres, mims, wseq = schedule_planar_seq(
+                            tuple(mres), tuple(mims), tuple(wseq), nn)
+                        y = planar_chain(xp, tuple(mres), tuple(mims), nn,
+                                         tuple(wseq), interp)
+                        vals.append(jnp.trace(y[0].reshape(dim, dim)))
+                    return jnp.stack(vals, axis=-1)
                 x = s.reshape([2] * (2 * n))
                 vals = []
                 for obs in self.observables:
@@ -1086,8 +1141,16 @@ class QubitCircuit:
                     vals.append(planar_pauli_expectation(
                         xp, tuple(mres), tuple(mims), n, tuple(wseq), interp))
                 return jnp.stack(vals, axis=-1)
+        elif batched:
+            def fn(states, _one=one_state_expvals):
+                prev = getattr(self, '_planar_block', False)
+                self._planar_block = True      # pallas kernels don't vmap
+                try:
+                    return jax.vmap(_one)(states)
+                finally:
+                    self._planar_block = prev
         else:
-            fn = one_state_expvals if not batched else jax.vmap(one_state_expvals)
+            fn = one_state_expvals
         if _eager():
             key = ('expval', self._version, len(self.observables),
                    tuple(tuple(map(tuple, o.wires)) + (o.basis,) for o in self.observables),

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['planar_evolve', 'to_planar', 'from_planar', 'planar_supported',
-           'fwd_ad_active']
+           'fwd_ad_active', 'planar_superop', 'planar_superop_matrix']
 
 _T_BITS = 7            # lane block: T = 128
 _T = 1 << _T_BITS
@@ -774,6 +774,41 @@ def planar_evolve_matrix(x, matrix, n: int, wires, interpret: bool = False):
     """Convenience entry: complex (2^k, 2^k) matrix in wires-list order."""
     mre, mim = _sorted_mat_planes(matrix, wires)
     return planar_evolve(x, mre, mim, n, tuple(wires), interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def planar_superop(x, mre, mim, n: int, wires, interpret: bool = False):
+    """Apply a GENERAL (non-unitary) linear map to the planar state — same
+    aliased kernel as planar_evolve, but the backward keeps the INPUT as the
+    residual instead of un-applying by inversion (which assumes unitarity).
+    Costs one state copy per call (XLA copies x before donating it into the
+    aliased pallas_call). Used for density-matrix Kraus channels as 4^k
+    superoperators on wire pairs (w, w+n) — circuit.py::_sim_planar_dm."""
+    return _planar_apply(x, mre, mim, n, tuple(wires), interpret)
+
+
+def _sop_fwd(x, mre, mim, n, wires, interpret):
+    y = _planar_apply(x, mre, mim, n, tuple(wires), interpret)
+    return y, (x, mre, mim)
+
+
+def _sop_bwd(n, wires, interpret, res, g):
+    """For y = M x (complex linear, possibly singular): dx = M^H g and the
+    plane cotangents from <g, x> — the same plane algebra as the unitary
+    _bwd, minus the inversion-based recompute."""
+    x, mre, mim = res
+    dmre, dmim = _planar_grad(g, x, n, tuple(wires), interpret)
+    dx = _planar_apply(g, _mT(mre), -_mT(mim), n, tuple(wires), interpret)
+    return dx, dmre, dmim
+
+
+planar_superop.defvjp(_sop_fwd, _sop_bwd)
+
+
+def planar_superop_matrix(x, matrix, n: int, wires, interpret: bool = False):
+    """Convenience entry: complex (2^k, 2^k) map in wires-list order."""
+    mre, mim = _sorted_mat_planes(matrix, wires)
+    return planar_superop(x, mre, mim, n, tuple(sorted(wires)), interpret)
 
 
 # ----------------------------------------------------- wire-relabel schedule
