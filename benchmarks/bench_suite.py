@@ -683,8 +683,15 @@ def bench_denmat(n=12, nlayer=3, steps=5):
 
 def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
     """Reference hessian_deepquantum.py: full Hessian of the expectation on
-    the reference's n x layer grid (3*n*l parameters per cell). Cells whose
-    Hessian exceeds the memory guard are skipped and recorded as such."""
+    the reference's n x layer grid (3*n*l parameters per cell).
+
+    Computed with QubitCircuit.hessian — reverse-over-reverse HVP columns
+    under lax.map, so ONE hvp body compiles regardless of the parameter
+    count and every pass rides the planar/window kernels. jax.hessian
+    (jacfwd . jacrev) cannot cross the planar chain's custom_vjp and its
+    einsum fallback's COMPILE time grows superlinearly with the parameter
+    count (~30 s at 24 params, unusable at 540) — that is what the
+    round-3 'failed' cells at n >= 10 were."""
     import jax
     out = dict(_recorded('hessian_ms'))
     for nlayer in grid[1]:
@@ -693,22 +700,12 @@ def bench_hessian(grid=((2, 6, 10, 14, 18), (1, 5, 10)), steps=3):
             if _skip_cell(out.get(rk)):
                 print(f'hessian {rk}: cached {out[rk]}')
                 continue
-            npara = 3 * n * nlayer
-            # forward-over-reverse vmaps npara tangents over the grad graph:
-            # ~npara * 2 states of 2^n c64 live at once
-            est_gb = npara * 2 * (1 << n) * 8 / 1e9
-            if est_gb > 8.0:
-                print(f'hessian n={n} l={nlayer}: skipped (~{est_gb:.0f} GB '
-                      f'forward-over-reverse working set)')
-                out = _merge_row('hessian_ms', rk, _FAILED)
-                continue
             cir = _build_vqe(n, nlayer)
-            hess_fn = jax.hessian(lambda p: cir.expectation(params=p)[0])
 
             def make_loop(k):
                 def loop(p):
                     def body(p, _):
-                        h = hess_fn(p)
+                        h = cir.hessian(params=p)
                         return p + 1e-6 * jax.numpy.diagonal(h), None
                     return jax.lax.scan(body, p, None, length=k)[0]
                 return loop

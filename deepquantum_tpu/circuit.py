@@ -1162,6 +1162,40 @@ class QubitCircuit:
             fn = jfn
         return fn(state)
 
+    def hessian(self, params=None, data=None, obs_index: int = 0) -> jnp.ndarray:
+        """Full Hessian of ``expectation()[obs_index]`` w.r.t. params, on the
+        planar TPU engine (reference metric:
+        benchmark_v420/hessian/hessian_deepquantum.py, which calls
+        torch.autograd.functional.hessian on the same scalar).
+
+        ``jax.hessian`` is jacfwd(jacrev(f)): its forward-mode outer
+        transform cannot cross the planar chain's custom_vjp, so calling it
+        on this circuit falls back to the XLA einsum engine — whose compile
+        time grows superlinearly with the parameter count (minutes at
+        ~500 params). This method instead computes REVERSE-over-reverse
+        Hessian-vector products — the chain VJP's own backward graph is
+        reverse-differentiable (ops/planar_gate.py::_applyd and friends) —
+        and maps them over basis columns with lax.map, so exactly ONE hvp
+        body is compiled regardless of the parameter count and every pass
+        rides the planar/window kernels. The Hessian of a C^2 scalar is
+        symmetric, which the column-wise hvp construction preserves up to
+        f32 roundoff.
+        """
+        p = self.params if params is None else jnp.asarray(params)
+
+        def f(q):
+            return self.expectation(data=data, params=q)[obs_index]
+
+        grad_f = jax.grad(f)
+
+        def hvp(v):
+            return jax.grad(lambda q: jnp.vdot(grad_f(q), v))(p)
+
+        basis = jnp.eye(p.size, dtype=p.dtype)
+        fn = jax.jit(lambda b: jax.lax.map(hvp, b)) if _eager() else (
+            lambda b: jax.lax.map(hvp, b))
+        return fn(basis).reshape(p.size, p.size)
+
     def _expectation_shots(self, state, shots: int):
         from .ops.qmath import sample2expval
         out = []

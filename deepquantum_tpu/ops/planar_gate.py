@@ -456,9 +456,12 @@ def _grad_kernel_body_mxu(g_ref, x_ref, out_ref, *, kh, roll_info, rb):
     the vrev(lo^li) permutation (scalar scatters can't target VMEM, and the
     (K, K) tensor store requires VMEM, so the permutation moves outside).
 
-    Enabled with DQ_GRAD_MXU=1; default stays VPU until the TPU measurement
-    (prototype: ~8% faster at DEFAULT precision but 3e-3 error — bf16
-    passes; HIGHEST restores accuracy)."""
+    Enabled with DQ_GRAD_MXU=1. Measured (round-4 full 8-cell ablation,
+    results.json grad_mxu_ablation_ms): NEUTRAL vs the VPU body at HIGHEST
+    precision — 40.1-40.5 ms across every fused/mxu cell at K=2, 48.3-49.3
+    at K=3. Default stays VPU; the K=3 cost this body targeted is instead
+    removed by the window engine (ops/window_gate.py), which windows long
+    runs out of the per-gate-pass regime entirely."""
     KH = 1 << kh
     nr = len(roll_info)
     h_index, versions, masks, _ = _block_machinery(kh, roll_info, rb)
@@ -946,6 +949,87 @@ def _use_sched() -> bool:
     return os.environ.get('DQ_SCHED', '1') != '0'
 
 
+# ------------------------------------------- reverse-differentiable kernels
+# The raw pallas_calls (_planar_apply, _planar_grad, window_apply) have no
+# AD rules, so the chain VJP below is opaque to SECOND-order reverse mode:
+# jax.jacrev(jax.grad(f)) must differentiate _chain_bwd's graph. These thin
+# custom_vjp wrappers close the derivative algebra over the SAME two kernel
+# entry points —
+#
+#     VJP of apply(x, M):   dx = apply(g, M^H),   dM = grad_reduce(g, x)
+#     VJP of grad_reduce:   dg = apply(x, C),     dx = apply(g, C^H)
+#
+# (C = the (K, K) cotangent planes; no unitarity is assumed anywhere, the
+# M^H in the apply VJP is the real-Jacobian transpose of the plane algebra,
+# exact for arbitrary M). Because each rule is expressed in the wrappers
+# themselves, reverse mode composes to ANY order. First-order behavior is
+# untouched: in a non-AD trace a custom_vjp call inlines the primal
+# function, so the chain's forward/backward HLO is byte-identical.
+# Forward-mode (jax.hessian = jacfwd . jacrev) still cannot cross
+# custom_vjp — QubitCircuit.hessian uses rev-over-rev for exactly this
+# reason (reference metric: benchmark_v420/hessian/hessian_deepquantum.py).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _applyd(x, mre, mim, n, wires, interpret=False):
+    return _planar_apply(x, mre, mim, n, wires, interpret)
+
+
+def _applyd_fwd(x, mre, mim, n, wires, interpret):
+    return _planar_apply(x, mre, mim, n, wires, interpret), (x, mre, mim)
+
+
+def _applyd_bwd(n, wires, interpret, res, g):
+    x, mre, mim = res
+    dx = _applyd(g, _mT(mre), -_mT(mim), n, wires, interpret)
+    dmre, dmim = _gradd(g, x, n, wires, interpret)
+    return dx, dmre, dmim
+
+
+_applyd.defvjp(_applyd_fwd, _applyd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gradd(g, x, n, wires, interpret=False):
+    return _planar_grad(g, x, n, wires, interpret)
+
+
+def _gradd_fwd(g, x, n, wires, interpret):
+    return _planar_grad(g, x, n, wires, interpret), (g, x)
+
+
+def _gradd_bwd(n, wires, interpret, res, ct):
+    g, x = res
+    cr, ci = ct
+    dg = _applyd(x, cr, ci, n, wires, interpret)
+    dx = _applyd(g, _mT(cr), -_mT(ci), n, wires, interpret)
+    return dg, dx
+
+
+_gradd.defvjp(_gradd_fwd, _gradd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _winapplyd(x, mre, mim, n, w, interpret=False):
+    from .window_gate import window_apply
+    return window_apply(x, mre, mim, n, w, interpret)
+
+
+def _winapplyd_fwd(x, mre, mim, n, w, interpret):
+    from .window_gate import window_apply
+    return window_apply(x, mre, mim, n, w, interpret), (x, mre, mim)
+
+
+def _winapplyd_bwd(n, w, interpret, res, g):
+    from .window_gate import window_apply, window_grad
+    x, mre, mim = res
+    dx = _winapplyd(g, _mT(mre), -_mT(mim), n, w, interpret)
+    dmre, dmim = window_grad(g, x, n, w)   # pure jnp — differentiable
+    return dx, dmre, dmim
+
+
+_winapplyd.defvjp(_winapplyd_fwd, _winapplyd_bwd)
+
+
 # --------------------------------------------------------------- gate chains
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def planar_chain(x, mres, mims, n: int, wires_seq, interpret: bool = False):
@@ -999,25 +1083,29 @@ def _chain_bwd(n, wires_seq, interpret, res, g):
         if wires_seq[i][0] == 'win':
             # dense window: recompute input (W^H y), window-plane cotangent
             # via two MXU matmuls, then propagate g = W^H g; autodiff
-            # carries dW back through the embedding product to gate params
-            from .window_gate import window_apply, window_grad
+            # carries dW back through the embedding product to gate params.
+            # _winapplyd (not raw window_apply) keeps this backward graph
+            # reverse-differentiable for second-order (QubitCircuit.hessian)
+            from .window_gate import window_grad
             w = wires_seq[i][1]
             wre_t = _mT(mres[i])
             wim_t = -_mT(mims[i])
-            x = window_apply(y, wre_t, wim_t, n, w, interpret)
+            x = _winapplyd(y, wre_t, wim_t, n, w, interpret)
             dres[i], dims[i] = window_grad(g, x, n, w)
-            g = window_apply(g, wre_t, wim_t, n, w, interpret)
+            g = _winapplyd(g, wre_t, wim_t, n, w, interpret)
             y = x
             continue
         mre_t = _mT(mres[i])
         mim_t = -_mT(mims[i])
         if fused:
+            # single-launch fused backward: first-order only (no VJP rule;
+            # DQ_FUSED_BWD defaults off — see grad_mxu_ablation_ms)
             y, g, dres[i], dims[i] = _planar_bwd_fused(
                 y, g, mre_t, mim_t, n, wires_seq[i], interpret)
         else:
-            x = _planar_apply(y, mre_t, mim_t, n, wires_seq[i], interpret)
-            dres[i], dims[i] = _planar_grad(g, x, n, wires_seq[i], interpret)
-            g = _planar_apply(g, mre_t, mim_t, n, wires_seq[i], interpret)
+            x = _applyd(y, mre_t, mim_t, n, wires_seq[i], interpret)
+            dres[i], dims[i] = _gradd(g, x, n, wires_seq[i], interpret)
+            g = _applyd(g, mre_t, mim_t, n, wires_seq[i], interpret)
             y = x
     return g, tuple(dres), tuple(dims)
 
@@ -1040,15 +1128,17 @@ def planar_pauli_expectation(x, mres, mims, n: int, wires_seq, interpret: bool =
 
 
 def _pexp_chain(x, mres, mims, n, wires_seq, interpret):
+    # _applyd/_winapplyd (identical primal HLO) keep the residual path of
+    # _pexp_fwd reverse-differentiable for second order: jacrev of the
+    # expectation's VJP pulls cotangents back through ox = P x
     ox = x
     for mre, mim, ws in zip(mres, mims, wires_seq):
         if ws[0] == 'rot':
             ox = _rotate_planar(ox, ws[1], n)
         elif ws[0] == 'win':
-            from .window_gate import window_apply
-            ox = window_apply(ox, mre, mim, n, ws[1], interpret)
+            ox = _winapplyd(ox, mre, mim, n, ws[1], interpret)
         else:
-            ox = _planar_apply(ox, mre, mim, n, ws, interpret)
+            ox = _applyd(ox, mre, mim, n, ws, interpret)
     return ox
 
 

@@ -575,3 +575,65 @@ def test_planar_hessian_fwd_ad_fallback(c64):
     g2 = np.asarray(jax.grad(lambda q: cir2.expectation(params=q)[0])(p))
     os.environ['DQ_PLANAR'] = '1'
     np.testing.assert_allclose(g1, g2, atol=1e-4)
+
+
+def _hessian_circuit(n):
+    cir = dq.QubitCircuit(n)
+    for i in range(n):
+        cir.rx(i)
+    cir.cnot_ring()
+    cir.observable(0, basis='z')
+    return cir
+
+
+def test_planar_hessian_rev_over_rev(c64):
+    """QubitCircuit.hessian: reverse-over-reverse HVP columns THROUGH the
+    planar chain's custom VJP (ops/planar_gate.py::_applyd/_gradd close the
+    derivative algebra over the apply/grad kernels). n=10 exercises the
+    per-gate planar route; parity vs the einsum engine's rev-rev hessian
+    and vs a finite difference of the planar gradient.
+    Reference metric: benchmark_v420/hessian/hessian_deepquantum.py."""
+    n = 10
+    cir = _hessian_circuit(n)
+    assert cir._planar_ok()
+    p = cir.params
+    h = np.asarray(cir.hessian())
+    assert h.shape == (n, n)
+    # symmetric up to f32 roundoff
+    np.testing.assert_allclose(h, h.T, atol=1e-5)
+    # vs the einsum engine's rev-over-rev hessian
+    os.environ['DQ_PLANAR'] = '0'
+    try:
+        cir2 = _hessian_circuit(n)
+        h2 = np.asarray(cir2.hessian(params=p))
+    finally:
+        os.environ['DQ_PLANAR'] = '1'
+    np.testing.assert_allclose(h, h2, atol=1e-4)
+    # vs finite difference of the planar gradient
+    f = lambda q: cir.expectation(params=q)[0]
+    eps = 1e-3
+    i = 4
+    gp = np.asarray(jax.grad(f)(p.at[i].add(eps)))
+    gm = np.asarray(jax.grad(f)(p.at[i].add(-eps)))
+    np.testing.assert_allclose((gp - gm) / (2 * eps), h[i], atol=5e-3)
+
+
+def test_planar_hessian_window_route(c64):
+    """Rev-over-rev hessian at n=14: the chain takes the MXU window engine
+    route (('win', w) entries + relabel rotations), so this covers
+    _winapplyd's second-order rule and the differentiability of the
+    window-product embedding."""
+    n = 14
+    cir = _hessian_circuit(n)
+    assert cir._planar_ok()
+    p = cir.params
+    h = np.asarray(cir.hessian())
+    assert h.shape == (n, n)
+    np.testing.assert_allclose(h, h.T, atol=1e-5)
+    os.environ['DQ_PLANAR'] = '0'
+    try:
+        cir2 = _hessian_circuit(n)
+        h2 = np.asarray(cir2.hessian(params=p))
+    finally:
+        os.environ['DQ_PLANAR'] = '1'
+    np.testing.assert_allclose(h, h2, atol=1e-4)
