@@ -150,27 +150,76 @@ def _cdf_lu_det(a_re, a_im, nrhs: int = 0, a_re_lo=None):
     return det, w, ds
 
 
+def _use_tor_pallas(m: int) -> bool:
+    """The lane-major Pallas LU kernel (tor_kernel.py) is the TPU path up to
+    m=14 modes (input planes stay under ~200 MB); the jnp df32 Gauss-Jordan
+    remains the portable fallback. DQ_TOR_PALLAS=0 forces the jnp path
+    (ablations)."""
+    import os
+    if os.environ.get('DQ_TOR_PALLAS', '1') == '0':
+        return False
+    return m <= 14 and jax.default_backend() == 'tpu'
+
+
+def _cdf_tree_sum(z):
+    """Complex df32 sum over axis 0 via a log-depth two-sum fold. Safe here
+    (unlike inside large fusions — see ops/df32.py header): the inputs are
+    materialized kernel outputs, so no producer duplication can happen."""
+    from ..ops.pallas_kernels import _two_sum as two_sum
+
+    def fold(hi, lo):
+        while hi.shape[0] > 1:
+            half = hi.shape[0] // 2
+            rest_h, rest_l = hi[2 * half:], lo[2 * half:]
+            s, e = two_sum(hi[:half], hi[half:2 * half])
+            hi, lo = s, e + (lo[:half] + lo[half:2 * half])
+            if rest_h.shape[0]:
+                hi = jnp.concatenate([hi, rest_h])
+                lo = jnp.concatenate([lo, rest_l])
+        return hi[0], lo[0]
+
+    return (fold(*z[0]), fold(*z[1]))
+
+
+def _tor_epilogue(det, sign, m: int, quad=None):
+    """Signed inclusion-exclusion sum over per-subset (det, quad) planes:
+    sum sign * exp(quad/2) / sqrt(det) + (-1)^m, all in df32."""
+    ones = jnp.ones(det[0][0].shape, jnp.float32)
+    term = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
+    if quad is not None:
+        term = cdf_mul(cdf_exp(cdf_scale_const(quad, 0.5)), term)
+    signed = tuple(tuple(x * sign for x in comp) for comp in term)
+    total = _cdf_tree_sum(signed)
+    lead = float((-1) ** m)
+    total = cdf_add(total, cdf_lift(jnp.float32(lead), jnp.float32(0)))
+    return cdf_to_complex(total)
+
+
+def _pad_sign(sign, s_pad: int):
+    out = np.zeros(s_pad, np.float32)
+    out[:sign.shape[0]] = sign
+    return out
+
+
 @jax.custom_jvp
 def _torontonian_df32(o_mat):
     """df32 click-probability torontonian of a complex64 matrix."""
     size = o_mat.shape[-1]
     m = size // 2
+    idx, valid, sign = _padded_tor_indices(m)
+    if _use_tor_pallas(m):
+        from .tor_kernel import tor_dets_pallas
+        det = tor_dets_pallas(o_mat, idx, valid)
+        return _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), m)
     re = jnp.real(o_mat).astype(jnp.float32)
     im = jnp.imag(o_mat).astype(jnp.float32)
-    idx, valid, sign = _padded_tor_indices(m)
     mask2 = valid * np.swapaxes(valid, -1, -2)               # (S, p, p)
     eye = np.eye(2 * m, dtype=np.float32)
     sub_re = re[idx[:, :, None], idx[:, None, :]] * mask2
     a_re, a_re_lo = _two_sum(eye, -sub_re)       # exact I - O_Z (see helper)
     a_im = -im[idx[:, :, None], idx[:, None, :]] * mask2
     det = _cdf_lu_det(a_re, a_im, a_re_lo=a_re_lo)
-    ones = jnp.ones(det[0][0].shape, jnp.float32)
-    inv_sqrt = cdf_div(cdf_lift(ones, jnp.zeros_like(ones)), cdf_sqrt(det))
-    signed = tuple(tuple(x * sign for x in comp) for comp in inv_sqrt)
-    total = cdf_reduce0(signed)
-    lead = float((-1) ** m)
-    total = cdf_add(total, cdf_lift(jnp.float32(lead), jnp.float32(0)))
-    return cdf_to_complex(total)
+    return _tor_epilogue(det, sign, m)
 
 
 @_torontonian_df32.defjvp
@@ -196,11 +245,16 @@ def _torontonian_loop_df32(o_mat, gamma):
     (~1e4-1e7x) doesn't eat the c64 result."""
     size = o_mat.shape[-1]
     m = size // 2
+    idx, valid, sign = _padded_tor_indices(m)
+    if _use_tor_pallas(m):
+        from .tor_kernel import tor_dets_quads_pallas
+        det, quad = tor_dets_quads_pallas(o_mat, gamma, idx, valid)
+        return _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), m,
+                             quad=quad)
     re = jnp.real(o_mat).astype(jnp.float32)
     im = jnp.imag(o_mat).astype(jnp.float32)
     gre = jnp.real(gamma).astype(jnp.float32)
     gim = jnp.imag(gamma).astype(jnp.float32)
-    idx, valid, sign = _padded_tor_indices(m)
     mask2 = valid * np.swapaxes(valid, -1, -2)
     eye = np.eye(2 * m, dtype=np.float32)
     sub_re = re[idx[:, :, None], idx[:, None, :]] * mask2
