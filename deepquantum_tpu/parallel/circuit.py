@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..circuit import QubitCircuit
+from ..circuit import QubitCircuit, _env_sig
 from ..config import cdtype, rdtype
 from ..ops.qmath import measure as qmeasure
 from .sharded import ShardedSimulator, make_mesh
@@ -55,7 +55,7 @@ class DistributedQubitCircuit(QubitCircuit):
     def forward(self, data=None, state=None, params=None):
         if self.engine == 'shardmap':
             key = ('smfwd', self._version, None if data is None else jnp.shape(data),
-                   state is None)
+                   state is None, _env_sig())
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(lambda p, d, s: self._smap._traced_run(self, p, d, s))
@@ -68,7 +68,8 @@ class DistributedQubitCircuit(QubitCircuit):
             state = self.sim.init_state()
         else:
             state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1), self.sim.sharding)
-        key = ('dfwd', self._version, None if data is None else jnp.shape(data))
+        key = ('dfwd', self._version, None if data is None else jnp.shape(data),
+               _env_sig())
         fn = self._cache.get(key)
         if fn is None:
             def run(params_, data_, state_):
@@ -104,7 +105,7 @@ class DistributedQubitCircuit(QubitCircuit):
             return jnp.stack([fn(p) for fn in fns], axis=-1)
         if self.engine == 'shardmap':
             key = ('smexp', self._version, None if data is None else jnp.shape(data),
-                   state is None)
+                   state is None, _env_sig())
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(lambda p, d, s: self._smap._traced_exp(self, p, d, s))
@@ -116,7 +117,7 @@ class DistributedQubitCircuit(QubitCircuit):
             state = jax.device_put(jnp.asarray(state, cdtype()).reshape(-1),
                                    self.sim.sharding)
         key = ('dexp', self._version, None if data is None else jnp.shape(data),
-               state is None)
+               state is None, _env_sig())
         fn = self._cache.get(key)
         if fn is None:
             def run(params_, data_, state_):

@@ -518,3 +518,42 @@ def test_distributed_adjoint_expectation_on_mesh():
     g_adj = jax.grad(lambda q: make_adjoint_expectation(dist, 0)(q))(p)
     g_ad = jax.grad(lambda q: local.expectation(params=q)[0])(p)
     np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ad), atol=1e-8)
+
+
+def test_shardmap_scheduled_local_runs():
+    """Local gate runs inside the shardmap program go through the same
+    relabel scheduler + MXU window engine as the single-chip path
+    (ShardMapSimulator._schedule_local_runs): at nlocal >= 14 the program
+    must contain ('rot'/'win') steps, exchanges must still see the identity
+    labeling, and values/gradients must match the local circuit. This is
+    the fix for the r4 mesh=1 overhead finding (shardmap_grad_ms: 210.9 vs
+    131.9 ms at n24 was exactly the scheduler+window win the engine lacked)."""
+    import deepquantum_tpu as dqm
+    from deepquantum_tpu.parallel.shardmap_engine import ShardMapSimulator
+
+    dqm.set_dtype('complex64')
+    try:
+        n = 16                       # mesh=2 -> nlocal = 15: windows engage
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i)
+            cir.rz(i)
+        for i in range(n - 1):
+            cir.cnot(i, i + 1)       # cnot(0, 1) crosses the global qubit
+        cir.observable(0)
+        sim = ShardMapSimulator(n, make_mesh(2), planar=True)
+        assert sim.cfg.use_pallas
+        gates = sim._gate_list(cir, sim._full(cir, cir.params, None))
+        program, _, _ = sim._build_program(gates)
+        kinds = {p[0] for p in program}
+        assert 'win' in kinds, kinds  # the window engine must have engaged
+        p = cir.params
+        e = np.asarray(sim.expectation(cir, params=p))
+        g = np.asarray(jax.grad(lambda q: sim.expectation(cir, params=q)[0])(p))
+    finally:
+        dqm.set_dtype('complex128')
+
+    e_ref = np.asarray(cir.expectation(params=p))
+    g_ref = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+    np.testing.assert_allclose(e, e_ref, atol=1e-5)
+    np.testing.assert_allclose(g, g_ref, atol=1e-5)
