@@ -102,6 +102,20 @@ def _eager() -> bool:
         return True
 
 
+_ENV_FLAGS = ('DQ_PLANAR', 'DQ_WINDOW', 'DQ_WINDOW_W', 'DQ_FUSED_BWD',
+              'DQ_GRAD_MXU', 'DQ_CHAIN_FUSED')
+
+
+def _env_sig() -> tuple:
+    """Perf-flag signature folded into jit cache keys. The engine-selection
+    flags are read at TRACE time; a cached jitted closure would otherwise
+    pin the flag values from its first trace (pjit caches jaxprs on avals
+    only), silently ignoring later toggles — e.g. QubitCircuit.hessian
+    pinning DQ_CHAIN_FUSED=0 around its rev-over-rev trace."""
+    import os
+    return tuple(os.environ.get(f, '') for f in _ENV_FLAGS)
+
+
 _PAULI_NP = {'x': np.array([[0, 1], [1, 0]], np.complex64),
              'y': np.array([[0, -1j], [1j, 0]], np.complex64),
              'z': np.array([[1, 0], [0, -1]], np.complex64)}
@@ -633,7 +647,7 @@ class QubitCircuit:
         """
         if getattr(self, '_planar_block', False):
             return False        # vmapped traces: pallas blocks don't batch
-        key = ('planar_ok', self._version, self.fuse_max_support)
+        key = ('planar_ok', self._version, self.fuse_max_support, _env_sig())
         ok = self._cache.get(key)
         if ok is None:
             import os
@@ -944,7 +958,7 @@ class QubitCircuit:
         # code never sees a JVPTracer (ops/planar_gate.py::fwd_ad_active)
         fwd_mode = _fwd_ad(params, data, state)
         key = ('fwd', self._version, None if data is None else jnp.shape(data),
-               single, fwd_mode)
+               single, fwd_mode, _env_sig())
         fn = self._cache.get(key)
         if fn is None:
             def run(params_, data_, state_):
@@ -1002,7 +1016,8 @@ class QubitCircuit:
         if _eager():
             from .utils.compat import to_device
             tensors = [to_device(t) if isinstance(t, np.ndarray) else t for t in tensors]
-        key = ('fwd_mps', self._version, None if data is None else jnp.shape(data))
+        key = ('fwd_mps', self._version, None if data is None else jnp.shape(data),
+               _env_sig())
         fn = self._cache.get(key)
         if fn is None:
             def run(params_, data_, tensors_):
@@ -1154,7 +1169,7 @@ class QubitCircuit:
         if _eager():
             key = ('expval', self._version, len(self.observables),
                    tuple(tuple(map(tuple, o.wires)) + (o.basis,) for o in self.observables),
-                   jnp.shape(state))
+                   jnp.shape(state), _env_sig())
             jfn = self._cache.get(key)
             if jfn is None:
                 jfn = jax.jit(fn)
@@ -1194,7 +1209,18 @@ class QubitCircuit:
         basis = jnp.eye(p.size, dtype=p.dtype)
         fn = jax.jit(lambda b: jax.lax.map(hvp, b)) if _eager() else (
             lambda b: jax.lax.map(hvp, b))
-        return fn(basis).reshape(p.size, p.size)
+        # the one-launch VMEM chain kernels (ops/chain_kernel.py) carry no AD
+        # rules, so rev-over-rev must see the per-step differentiable path
+        import os
+        prev = os.environ.get('DQ_CHAIN_FUSED')
+        os.environ['DQ_CHAIN_FUSED'] = '0'
+        try:
+            return fn(basis).reshape(p.size, p.size)
+        finally:
+            if prev is None:
+                os.environ.pop('DQ_CHAIN_FUSED', None)
+            else:
+                os.environ['DQ_CHAIN_FUSED'] = prev
 
     def _expectation_shots(self, state, shots: int):
         from .ops.qmath import sample2expval

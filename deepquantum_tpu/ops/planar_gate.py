@@ -927,6 +927,11 @@ def schedule_rotations(wires_list, n: int):
                 path = _rot_path(rot, cand, n)
                 if not path:
                     continue
+                if _rot_path(cand, 0, n) is None:
+                    # a labeling the plan could not close from (possible at
+                    # small odd n where legal deltas are sparse) would trip
+                    # the closing assert below — never move there
+                    continue
                 cost = _ROT_COST * len(path) + sim_cost(cand, idx, _LOOKAHEAD)
                 if cost < best[0] - 1e-9:
                     best = (cost, cand, path)
@@ -1049,7 +1054,16 @@ def planar_chain(x, mres, mims, n: int, wires_seq, interpret: bool = False):
     entries from schedule_rotations (their mres/mims slots hold (1, 1)
     zero placeholders to keep the pytrees aligned; rotations are constant
     permutations, so their matrix cotangents are zero).
+
+    When the whole sequence is windows + relabels and the state fits VMEM
+    (n <= 19), the chain collapses into ONE launch per direction — the
+    VMEM-resident engine of ops/chain_kernel.py (measured motivation in its
+    header: pass count stopped mattering at n18, HBM round trips were the
+    bound).
     """
+    from .chain_kernel import chain_fused_ok, window_chain_fwd
+    if x.dtype == jnp.float32 and chain_fused_ok(wires_seq, n, mres):
+        return window_chain_fwd(x, mres, mims, n, wires_seq, interpret)
     for mre, mim, ws in zip(mres, mims, wires_seq):
         if ws[0] == 'rot':
             x = _rotate_planar(x, ws[1], n)
@@ -1068,6 +1082,11 @@ def _chain_fwd(x, mres, mims, n, wires_seq, interpret):
 
 def _chain_bwd(n, wires_seq, interpret, res, g):
     y, mres, mims = res
+    from .chain_kernel import chain_fused_ok, window_chain_bwd
+    if y.dtype == jnp.float32 and chain_fused_ok(wires_seq, n, mres):
+        _, g_in, dres, dims = window_chain_bwd(y, g, mres, mims, n,
+                                               wires_seq, interpret)
+        return g_in, dres, dims
     fused = _use_fused_bwd()
     dres = [None] * len(mres)
     dims = [None] * len(mres)
@@ -1130,7 +1149,13 @@ def planar_pauli_expectation(x, mres, mims, n: int, wires_seq, interpret: bool =
 def _pexp_chain(x, mres, mims, n, wires_seq, interpret):
     # _applyd/_winapplyd (identical primal HLO) keep the residual path of
     # _pexp_fwd reverse-differentiable for second order: jacrev of the
-    # expectation's VJP pulls cotangents back through ox = P x
+    # expectation's VJP pulls cotangents back through ox = P x.
+    # The VMEM-resident one-launch path (chain_kernel.py) applies when the
+    # sequence qualifies — QubitCircuit.hessian pins DQ_CHAIN_FUSED=0, so
+    # second-order traces never see it.
+    from .chain_kernel import chain_fused_ok, window_chain_fwd
+    if x.dtype == jnp.float32 and chain_fused_ok(wires_seq, n, mres):
+        return window_chain_fwd(x, mres, mims, n, wires_seq, interpret)
     ox = x
     for mre, mim, ws in zip(mres, mims, wires_seq):
         if ws[0] == 'rot':

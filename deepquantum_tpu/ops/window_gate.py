@@ -216,6 +216,10 @@ def plan_windows(wseq, n: int, w: int):
             path = _rot_path(rot, base, n)
             if path is None:
                 continue
+            if _rot_path(base, 0, n) is None:
+                # unclosable labeling (sparse legal deltas at small odd n)
+                # would trip the closing assert — never move there
+                continue
             score = lookahead(base, idx) - 0.5 * len(path)
             if best is None or score > best[0]:
                 best = (score, base, path)

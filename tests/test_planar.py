@@ -637,3 +637,63 @@ def test_planar_hessian_window_route(c64):
     finally:
         os.environ['DQ_PLANAR'] = '1'
     np.testing.assert_allclose(h, h2, atol=1e-4)
+
+
+def test_chain_fused_kernel_parity(c64):
+    """The one-launch VMEM chain engine (ops/chain_kernel.py) against the
+    per-step window path on a qualifying sequence: state, expectation and
+    gradient parity with DQ_CHAIN_FUSED=1 vs 0, plus hessian still working
+    (it pins the fused path off around its rev-over-rev trace)."""
+    from deepquantum_tpu.ops.chain_kernel import chain_fused_ok
+    from deepquantum_tpu.ops.planar_gate import schedule_planar_seq
+    import jax.numpy as jnp
+    n = 16  # smallest n whose scheduled VQE sequence is pure window/rot
+
+    def build():
+        cir = dq.QubitCircuit(n)
+        for i in range(n):
+            cir.rx(i)
+            cir.rz(i)
+        cir.cnot_ring()
+        cir.observable(list(range(n)), basis='x' * n)
+        return cir
+
+    cir = build()
+    # the scheduled sequence must be all-window/rot so the fused engine takes it
+    full = cir._full_params(cir.params, None, None)
+    mres, mims, wseq = [], [], []
+    for entry in cir._fused_plan():
+        mat, ws = cir._fused_matrix(entry, full) if entry[0] != 'op' else (None, None)
+        if mat is None:
+            op = entry[1]
+            from deepquantum_tpu.ops.apply import controlled_matrix
+            mat = controlled_matrix(jnp.asarray(op.matrix(full), jnp.complex64),
+                                    len(op.controls))
+            ws = sorted(list(op.controls) + list(op.wires))
+        mres.append(jnp.real(mat).astype(jnp.float32))
+        mims.append(jnp.imag(mat).astype(jnp.float32))
+        wseq.append(tuple(sorted(ws)))
+    r, i_, w = schedule_planar_seq(tuple(mres), tuple(mims), tuple(wseq), n)
+    assert chain_fused_ok(w, n, r), {s if s[0] in ('rot', 'win') else 'gate'
+                                     for s in w}
+
+    p = cir.params
+    e_f = np.asarray(cir.expectation(params=p))
+    g_f = np.asarray(jax.grad(lambda q: cir.expectation(params=q)[0])(p))
+    s_f = np.asarray(cir.forward(params=p)).reshape(-1)
+    h_f = np.asarray(cir.hessian(params=p))
+
+    os.environ['DQ_CHAIN_FUSED'] = '0'
+    try:
+        cir0 = build()
+        e_s = np.asarray(cir0.expectation(params=p))
+        g_s = np.asarray(jax.grad(lambda q: cir0.expectation(params=q)[0])(p))
+        s_s = np.asarray(cir0.forward(params=p)).reshape(-1)
+        h_s = np.asarray(cir0.hessian(params=p))
+    finally:
+        os.environ.pop('DQ_CHAIN_FUSED', None)
+
+    np.testing.assert_allclose(s_f, s_s, atol=1e-5)
+    np.testing.assert_allclose(e_f, e_s, atol=1e-5)
+    np.testing.assert_allclose(g_f, g_s, atol=1e-4)
+    np.testing.assert_allclose(h_f, h_s, atol=1e-3)
