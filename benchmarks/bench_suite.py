@@ -392,14 +392,47 @@ def bench_fusion_ablation(n=22, nlayer=5, steps=10):
 def bench_window_ablation(steps=10):
     """MXU window engine A/B (ops/window_gate.py): the same VQE grad step
     with DQ_WINDOW off (per-gate planar kernels + relabel scheduler) vs on
-    (gate runs collapsed into dense 2^w unitaries, one matmul sweep each).
+    (gate runs collapsed into dense 2^w unitaries, one matmul sweep each),
+    plus a DQ_WINDOW_W width sweep at the headline workload (VERDICT r4
+    item 1: which part of the headline the window engine buys, and whether
+    w=7 — the v5e ridge point — is actually the right width).
     Grid matches the headline (n18_l5) and the large single-chip row
-    (n24_l2). The window engine engages at n >= 14."""
+    (n24_l2). The window engine engages at n >= 14.
+
+    DQ_CHAIN_FUSED is pinned OFF here so the cells isolate the PER-PASS
+    window effect; the one-launch VMEM chain engine riding on top of the
+    window schedule is measured separately (chain_ablation_ms)."""
     import os
 
     import jax
     out = dict(_recorded('window_ablation_ms'))
     prev_w = os.environ.get('DQ_WINDOW')
+    prev_ww = os.environ.get('DQ_WINDOW_W')
+    prev_cf = os.environ.get('DQ_CHAIN_FUSED')
+    os.environ['DQ_CHAIN_FUSED'] = '0'
+
+    def _time_cell(rk, n, nlayer):
+        nonlocal out
+        cir = _build_vqe(n, nlayer)
+        grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+        def make_loop(k):
+            def loop(p):
+                def body(p, _):
+                    _, g = grad_fn(p)
+                    return p - 1e-3 * g, None
+                return jax.lax.scan(body, p, None, length=k)[0]
+            return loop
+
+        try:
+            ms = _scan_time(make_loop, cir.params, steps)
+        except Exception as e:  # noqa: BLE001 — record partial grids
+            print(f'window {rk}: failed ({type(e).__name__}: {str(e)[:100]})')
+            out = _merge_row('window_ablation_ms', rk, _FAILED)
+            return None
+        out = _merge_row('window_ablation_ms', rk, ms)
+        return ms
+
     try:
         for n, nlayer in ((18, 5), (24, 2)):
             for win in (0, 1):
@@ -408,6 +441,56 @@ def bench_window_ablation(steps=10):
                     print(f'window {rk}: cached {out[rk]}')
                     continue
                 os.environ['DQ_WINDOW'] = str(win)
+                os.environ.pop('DQ_WINDOW_W', None)
+                ms = _time_cell(rk, n, nlayer)
+                if ms is not None:
+                    print(f'window n={n} l={nlayer} win={win}: '
+                          f'{ms:.2f} ms/step')
+        # width sweep at the headline workload, windows on
+        os.environ['DQ_WINDOW'] = '1'
+        for ww in (5, 6, 7, 8):
+            rk = f'n18_l5_w{ww}'
+            if _skip_cell(out.get(rk)):
+                print(f'window {rk}: cached {out[rk]}')
+                continue
+            os.environ['DQ_WINDOW_W'] = str(ww)
+            ms = _time_cell(rk, 18, 5)
+            if ms is not None:
+                print(f'window n=18 l=5 w={ww}: {ms:.2f} ms/step')
+    finally:
+        for var, prev in (('DQ_WINDOW', prev_w), ('DQ_WINDOW_W', prev_ww),
+                          ('DQ_CHAIN_FUSED', prev_cf)):
+            if prev is None:
+                os.environ.pop(var, None)
+            else:
+                os.environ[var] = prev
+    return out
+
+
+def bench_chain_ablation(steps=10):
+    """One-launch VMEM chain engine A/B (ops/chain_kernel.py): the same VQE
+    grad step with DQ_CHAIN_FUSED off (one Pallas launch per window/rot
+    pass — one full HBM round trip each) vs on (the whole scheduled window
+    sequence as ONE launch per direction, state held in VMEM throughout).
+
+    Motivation measured in window_ablation_ms: collapsing 224 per-gate
+    passes into 86 window/rot passes moved the n18_l5 headline NOT AT ALL
+    (5.21 -> 5.36 ms) — per-pass HBM round trips, not pass count, were the
+    bound. The chain engine removes the round trips themselves. Engages at
+    14 <= n <= 19 (state + stacked windows must fit VMEM)."""
+    import os
+
+    import jax
+    out = dict(_recorded('chain_ablation_ms'))
+    prev_cf = os.environ.get('DQ_CHAIN_FUSED')
+    try:
+        for n, nlayer in ((16, 5), (18, 5)):
+            for cf in (0, 1):
+                rk = f'n{n}_l{nlayer}_chain{cf}'
+                if _skip_cell(out.get(rk)):
+                    print(f'chain {rk}: cached {out[rk]}')
+                    continue
+                os.environ['DQ_CHAIN_FUSED'] = str(cf)
                 cir = _build_vqe(n, nlayer)
                 grad_fn = jax.value_and_grad(
                     lambda p: cir.expectation(params=p)[0])
@@ -422,13 +505,61 @@ def bench_window_ablation(steps=10):
 
                 try:
                     ms = _scan_time(make_loop, cir.params, steps)
-                except Exception as e:  # noqa: BLE001 — record partial grids
-                    print(f'window {rk}: failed ({type(e).__name__}: '
+                except Exception as e:  # noqa: BLE001
+                    print(f'chain {rk}: failed ({type(e).__name__}: '
                           f'{str(e)[:100]})')
-                    out = _merge_row('window_ablation_ms', rk, _FAILED)
+                    out = _merge_row('chain_ablation_ms', rk, _FAILED)
                     continue
-                out = _merge_row('window_ablation_ms', rk, ms)
-                print(f'window n={n} l={nlayer} win={win}: {ms:.2f} ms/step')
+                out = _merge_row('chain_ablation_ms', rk, ms)
+                print(f'chain n={n} l={nlayer} chain={cf}: {ms:.3f} ms/step')
+    finally:
+        if prev_cf is None:
+            os.environ.pop('DQ_CHAIN_FUSED', None)
+        else:
+            os.environ['DQ_CHAIN_FUSED'] = prev_cf
+    return out
+
+
+def bench_fusion_window(n=22, nlayer=5, steps=10):
+    """K-wire fusion sweep with the MXU window engine ON — the shipped
+    default. fusion_ablation_ms (windows pinned OFF) showed K3 48.4 > K2
+    40.3 ms; this section decides the K=3 story with data under the real
+    configuration (VERDICT r4 item 5): either the window engine makes K
+    irrelevant (gate runs collapse into dense windows regardless), or K2
+    stays best and the K3 claim dies."""
+    import os
+
+    import jax
+    out = dict(_recorded('fusion_window_ablation_ms'))
+    prev_w = os.environ.get('DQ_WINDOW')
+    os.environ['DQ_WINDOW'] = '1'
+    try:
+        for K in (1, 2, 3):
+            rk = f'K{K}'
+            if _skip_cell(out.get(rk)):
+                print(f'fusion_window {rk}: cached {out[rk]}')
+                continue
+            cir = _build_vqe(n, nlayer)
+            cir.fuse_max_support = K
+            grad_fn = jax.value_and_grad(lambda p: cir.expectation(params=p)[0])
+
+            def make_loop(k):
+                def loop(p):
+                    def body(p, _):
+                        _, g = grad_fn(p)
+                        return p - 1e-3 * g, None
+                    return jax.lax.scan(body, p, None, length=k)[0]
+                return loop
+
+            try:
+                ms = _scan_time(make_loop, cir.params, steps)
+            except Exception as e:  # noqa: BLE001
+                print(f'fusion_window {rk}: failed ({type(e).__name__}: '
+                      f'{str(e)[:100]})')
+                out = _merge_row('fusion_window_ablation_ms', rk, _FAILED)
+                continue
+            out = _merge_row('fusion_window_ablation_ms', rk, ms)
+            print(f'fusion_window n={n} l={nlayer} K={K}: {ms:.2f} ms/step')
     finally:
         if prev_w is None:
             os.environ.pop('DQ_WINDOW', None)
@@ -574,7 +705,10 @@ def bench_batched_qml(n=14, nlayer=2, batch=100, steps=5):
     data = jnp.asarray(rng.random((batch, n)), jnp.float32)
 
     def build():
-        cir = dq.QubitCircuit(n)
+        # reupload: the circuit has nlayer*n encoders but each sample carries
+        # n features — the reference wraps the data around the encoder list
+        # (reference circuit.py:287-293), and so do we (VERDICT r4 weak #1)
+        cir = dq.QubitCircuit(n, reupload=True)
         for _ in range(nlayer):
             for i in range(n):
                 cir.ry(i, encode=True)
@@ -1029,13 +1163,16 @@ def _loop_torontonian_host_f64(o: np.ndarray, gamma: np.ndarray) -> complex:
     return complex(total)
 
 
-def bench_torontonian(ns=(6, 8, 10), steps=5):
+def bench_torontonian(ns=(6, 8, 10, 12), steps=5):
+    """n12 added round 5: the lane-major Pallas LU kernel (tor_kernel.py)
+    replaced the jnp Gauss-Jordan whose edge over the reference collapsed
+    with n (VERDICT r4 weak #6); rows resume per-cell now."""
     import jax
     import jax.numpy as jnp
     from deepquantum_tpu.photonic.torontonian_ import torontonian
     from deepquantum_tpu.utils.compat import to_device, to_numpy
     rng = np.random.default_rng(2)
-    out = {}
+    out = dict(_recorded('torontonian_ms'))
     for n in ns:
         m = rng.standard_normal((2 * n, 2 * n)) * 0.1
         # quantize to c64 FIRST and feed the oracle the quantized matrix
@@ -1045,28 +1182,36 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
         # swamp the row with it.
         o = (np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + (m @ m.T))
              ).astype(np.complex64).astype(np.complex128)
-        x = to_device(o.astype(np.complex64))
-        val = complex(np.asarray(to_numpy(jax.jit(torontonian)(x))))
-        oracle, amp = _torontonian_host_f64(o, with_amp=True)
-        rel = abs(val - oracle) / abs(oracle)
-
-        def make_loop(k):
-            def loop(z):
-                def body(z, _):
-                    v = torontonian(z)
-                    return z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype), None
-                return jax.lax.scan(body, z, None, length=k)[0]
-            return loop
-
-        with _maybe_profile(f'torontonian_n{n}'):
-            ms = _scan_time(make_loop, x, steps)
-        out[f'n{n}'] = dict(ms=ms, rel_err_vs_f64=rel, cancellation_amp=amp)
-        print(f'torontonian 2n={2 * n}: {ms:.3f} ms, rel err vs f64 = '
-              f'{rel:.2e} (instance cancellation amp {amp:.1e})')
-
-        # loop (displaced) variant — reference loop_torontonian benchmark dir
         gam = (rng.standard_normal(2 * n) * 0.1).astype(np.complex64).astype(np.complex128)
         gam[n:] = np.conj(gam[:n])
+        if not (_skip_cell(out.get(f'n{n}')) and _skip_cell(out.get(f'loop_n{n}'))):
+            x = to_device(o.astype(np.complex64))
+        if not _skip_cell(out.get(f'n{n}')):
+            val = complex(np.asarray(to_numpy(jax.jit(torontonian)(x))))
+            oracle, amp = _torontonian_host_f64(o, with_amp=True)
+            rel = abs(val - oracle) / abs(oracle)
+
+            def make_loop(k):
+                def loop(z):
+                    def body(z, _):
+                        v = torontonian(z)
+                        return z * (1 + 1e-9 * jnp.real(v) / (jnp.abs(v) + 1)).astype(z.dtype), None
+                    return jax.lax.scan(body, z, None, length=k)[0]
+                return loop
+
+            with _maybe_profile(f'torontonian_n{n}'):
+                ms = _scan_time(make_loop, x, steps)
+            row = dict(ms=ms, rel_err_vs_f64=rel, cancellation_amp=amp)
+            out = _merge_row('torontonian_ms', f'n{n}', row)
+            print(f'torontonian 2n={2 * n}: {ms:.3f} ms, rel err vs f64 = '
+                  f'{rel:.2e} (instance cancellation amp {amp:.1e})')
+        else:
+            print(f'torontonian n{n}: cached')
+
+        # loop (displaced) variant — reference loop_torontonian benchmark dir
+        if _skip_cell(out.get(f'loop_n{n}')):
+            print(f'torontonian loop_n{n}: cached')
+            continue
         gdev = to_device(gam.astype(np.complex64))
         lval = complex(np.asarray(to_numpy(jax.jit(torontonian)(x, gdev))))
         loracle = _loop_torontonian_host_f64(o, gam)
@@ -1087,7 +1232,8 @@ def bench_torontonian(ns=(6, 8, 10), steps=5):
             return loop
 
         lms = _scan_time(make_loop_l, (x, gdev), steps)
-        out[f'loop_n{n}'] = dict(ms=lms, rel_err_vs_f64=lrel)
+        out = _merge_row('torontonian_ms', f'loop_n{n}',
+                         dict(ms=lms, rel_err_vs_f64=lrel))
         print(f'loop torontonian 2n={2 * n}: {lms:.3f} ms, rel err vs f64 = '
               f'{lrel:.2e}')
     return out
@@ -1254,7 +1400,7 @@ def bench_reference_hafnian(ns=(8, 12, 16), steps=5):
     return out
 
 
-def bench_reference_torontonian(ns=(6, 8, 10), steps=5):
+def bench_reference_torontonian(ns=(6, 8, 10, 12), steps=5):
     """Reference torch-CPU torontonian / loop torontonian on the SAME
     quantized matrices as bench_torontonian (seed rng(2)) (reference metric:
     benchmark_v420/torontonian/ + loop_torontonian/; reference
@@ -1345,6 +1491,8 @@ SECTIONS = {
     'gradient_large': ('gradient_large_ms', bench_gradient_large),
     'fusion': ('fusion_ablation_ms', bench_fusion_ablation),
     'window': ('window_ablation_ms', bench_window_ablation),
+    'chain': ('chain_ablation_ms', bench_chain_ablation),
+    'fusion_window': ('fusion_window_ablation_ms', bench_fusion_window),
     'grad_mxu': ('grad_mxu_ablation_ms', bench_grad_mxu_ablation),
     'denmat': ('denmat_grad_ms', bench_denmat),
     'batched_qml': ('batched_qml_grad_ms', bench_batched_qml),
