@@ -464,6 +464,54 @@ def test_torontonian_df32_click_and_loop():
         assert abs(gotl - refl) / abs(refl) < 1e-6, abs(gotl - refl) / abs(refl)
 
 
+def test_torontonian_pallas_kernel_interpret():
+    """The lane-major Pallas LU kernel (photonic/tor_kernel.py — the TPU
+    path, VERDICT r4 weak #6) against the same host f64 oracle, in
+    interpret mode: click (shrinking LU) and displaced (augmented Jordan)
+    planes must match through the df32 epilogue."""
+    import itertools as it
+
+    from deepquantum_tpu.photonic.tor_kernel import (
+        tor_dets_pallas, tor_dets_quads_pallas)
+    from deepquantum_tpu.photonic.torontonian_ import (
+        _pad_sign, _padded_tor_indices, _tor_epilogue)
+
+    def host(o, gamma):
+        mm = o.shape[-1] // 2
+        total = (-1.0) ** mm + 0j
+        for r in range(1, mm + 1):
+            for sub in it.combinations(range(mm), r):
+                ii = np.sort(np.concatenate([np.array(sub), np.array(sub) + mm]))
+                ci = np.eye(2 * r) - o[np.ix_(ii, ii)]
+                g = gamma[ii]
+                e = g @ np.linalg.solve(ci, np.conj(g)) / 2
+                total += ((-1.0) ** (mm - r) * np.exp(e)
+                          / np.sqrt(np.linalg.det(ci)))
+        return complex(total)
+
+    rng = np.random.default_rng(7)
+    n = 5
+    m = rng.standard_normal((2 * n, 2 * n)) * 0.1
+    o = np.eye(2 * n) - np.linalg.inv(np.eye(2 * n) + m @ m.T)
+    o = o.astype(np.complex64).astype(np.complex128)
+    gam = (rng.standard_normal(2 * n) * 0.1).astype(np.float32).astype(np.complex128)
+    idx, valid, sign = _padded_tor_indices(n)
+    oc64 = jnp.asarray(o, jnp.complex64)
+
+    det = tor_dets_pallas(oc64, idx, valid, interpret=True)
+    got = complex(np.asarray(
+        _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), n)))
+    ref = host(o, np.zeros(2 * n))
+    assert abs(got - ref) / abs(ref) < 1e-6, abs(got - ref) / abs(ref)
+
+    det2, quad = tor_dets_quads_pallas(
+        oc64, jnp.asarray(gam, jnp.complex64), idx, valid, interpret=True)
+    gotl = complex(np.asarray(_tor_epilogue(
+        det2, _pad_sign(sign, det2[0][0].shape[0]), n, quad=quad)))
+    refl = host(o, gam)
+    assert abs(gotl - refl) / abs(refl) < 1e-6, abs(gotl - refl) / abs(refl)
+
+
 def test_threshold_probs_sum_to_one_c64():
     """End-to-end regression for the non-symmetric-torontonian bug: GBS
     threshold click-pattern probabilities at the complex64 policy sum to 1
