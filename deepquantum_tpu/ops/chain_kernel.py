@@ -112,6 +112,21 @@ def _dot_x6(a, b, dims):
         (dot(ah, bm) + dot(am, bh)) + dot(ah, bh))
 
 
+def _dot_x3(a, b, dims):
+    """3-pass variant (~2^-16 relative, no cross-step compounding) for the
+    per-window cotangents dW = g x^H: each dW is one local outer product, so
+    the dropped 2^-16 terms never accumulate through the chain, and grads
+    only need ~1e-4. Cuts the backward's window work by a third."""
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    am = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bm = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (dot(ah, bm) + dot(am, bh)) + dot(ah, bh)
+
+
 _DIMS_MV = (((1,), (0,)), ((), ()))     # (W, W) @ (W, R)
 _DIMS_TV = (((0,), (0,)), ((), ()))     # (W, W)^T @ (W, R)
 _DIMS_OUT = (((1,), (1,)), ((), ()))    # (W, R) @ (W, R)^T -> (W, W)
@@ -229,10 +244,10 @@ def _bwd_kernel(kind_ref, didx_ref, yr_ref, yi_ref, gr_ref, gi_ref,
         yr_scr[...] = xr
         yi_scr[...] = xi
         # dW = g x^H in split planes (window_gate.py::window_grad algebra)
-        dwre_ref[0] = (_dot_x6(gr_scr[...], xr, _DIMS_OUT)
-                       + _dot_x6(gi_scr[...], xi, _DIMS_OUT))
-        dwim_ref[0] = (_dot_x6(gi_scr[...], xr, _DIMS_OUT)
-                       - _dot_x6(gr_scr[...], xi, _DIMS_OUT))
+        dwre_ref[0] = (_dot_x3(gr_scr[...], xr, _DIMS_OUT)
+                       + _dot_x3(gi_scr[...], xi, _DIMS_OUT))
+        dwim_ref[0] = (_dot_x3(gi_scr[...], xr, _DIMS_OUT)
+                       - _dot_x3(gr_scr[...], xi, _DIMS_OUT))
         gr2 = (_dot_x6(mr, gr_scr[...], _DIMS_TV)
                + _dot_x6(mi, gi_scr[...], _DIMS_TV))
         gi2 = (_dot_x6(mr, gi_scr[...], _DIMS_TV)
