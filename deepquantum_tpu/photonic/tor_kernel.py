@@ -129,18 +129,32 @@ def _tor_loop_kernel(arh_ref, arl_ref, aih_ref, grh_ref, gih_ref, out_ref,
 
 
 # ------------------------------------------------------------ host wrappers
-def _gathered_planes(o_mat, idx, valid):
-    """Lane-major gathered powerset planes: a = I - O_Z padded to p with
-    identity rows, as (p, p, S_pad) f32 planes (re_hi, re_lo, im_hi) with
-    the diagonal subtraction two_sum'd (a plain f32 ``1 - x`` rounds at
-    2^-24, the measured accuracy floor of the whole function — see
-    torontonian_.py::_cdf_lu_det)."""
-    S, p = idx.shape
+def _size_buckets(valid):
+    """Group subsets by matrix size p = 2r. The powerset scaffold
+    (hafnian_.py::padded_powerset_indices) pads every subset to 2m, so the
+    all-sizes kernel does (2m)^3 work per subset while the AVERAGE subset
+    only needs (2r)^3 — 6.4x wasted work at m=12 (and the shrinking slices
+    churn relayouts at full width). Per-size buckets restore the p^3/3
+    economics; each size compiles one small kernel."""
+    sizes = valid[:, :, 0].sum(1).astype(np.int64)
+    out = []
+    for p in sorted(set(sizes.tolist())):
+        out.append((int(p), np.nonzero(sizes == p)[0]))
+    return out
+
+
+def _bucket_planes(o_mat, idx_p, p: int):
+    """Lane-major gathered planes for ONE size bucket: a = I - O_Z as
+    (p, p, Sp_pad) f32 planes (re_hi, re_lo, im_hi) with the diagonal
+    subtraction two_sum'd (a plain f32 ``1 - x`` rounds at 2^-24, the
+    measured accuracy floor of the whole function). Padding lanes carry
+    identity matrices (det=1, killed by sign=0 in the epilogue)."""
+    S = idx_p.shape[0]
     S_pad = -(-S // _LANES) * _LANES
     idx_t = np.zeros((p, S_pad), np.int32)
-    idx_t[:, :S] = idx.T
+    idx_t[:, :S] = idx_p.T
     m_t = np.zeros((p, S_pad), np.float32)
-    m_t[:, :S] = valid[:, :, 0].T
+    m_t[:, :S] = 1.0
     idx_d = jnp.asarray(idx_t)
     m_d = jnp.asarray(m_t)
     re = jnp.real(o_mat).astype(jnp.float32)
@@ -151,68 +165,82 @@ def _gathered_planes(o_mat, idx, valid):
     eye = jnp.asarray(np.eye(p, dtype=np.float32))[:, :, None]
     a_rh, a_rl = _two_sum(eye, -sub_re)
     a_ih = -sub_im
-    return a_rh, a_rl, a_ih, m_d, S_pad
+    return a_rh, a_rl, a_ih, idx_d, m_d, S_pad
 
 
-def tor_dets_pallas(o_mat, idx, valid, interpret: bool = False):
-    """df32 determinants of I - O_Z for every padded subset (S, p) —
-    returns complex df32 planes shaped (S_pad,); padding lanes hold det=1.
-    ``idx``/``valid`` are the HOST scaffold of
-    torontonian_.py::_padded_tor_indices (numpy, trace-time static — not
-    jitted here; callers jit around this)."""
+def tor_dets_pallas(o_mat, idx, valid, sign, interpret: bool = False):
+    """df32 determinants of I - O_Z over the powerset, bucketed by subset
+    size. Returns (det planes, aligned sign) with lanes concatenated in
+    bucket order; padding lanes hold det=1, sign=0. ``idx``/``valid``/
+    ``sign`` are the HOST scaffold of torontonian_.py::_padded_tor_indices
+    (numpy, trace-time static — callers jit around this)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p = idx.shape[1]
-    a_rh, a_rl, a_ih, _, S_pad = _gathered_planes(o_mat, idx, valid)
-    grid = S_pad // _LANES
-    spec = pl.BlockSpec((p, p, _LANES), lambda g: (0, 0, g),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_tor_click_kernel, p=p),
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid, 4, _LANES), jnp.float32),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((1, 4, _LANES), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(a_rh, a_rl, a_ih)
-    flat = out.transpose(1, 0, 2).reshape(4, S_pad)
-    return ((flat[0], flat[1]), (flat[2], flat[3]))
+    parts = []
+    signs = []
+    for p, rows in _size_buckets(valid):
+        idx_p = idx[rows][:, :p]
+        a_rh, a_rl, a_ih, _, _, S_pad = _bucket_planes(o_mat, idx_p, p)
+        grid = S_pad // _LANES
+        spec = pl.BlockSpec((p, p, _LANES), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_tor_click_kernel, p=p),
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((grid, 4, _LANES), jnp.float32),
+            in_specs=[spec, spec, spec],
+            out_specs=pl.BlockSpec((1, 4, _LANES), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(a_rh, a_rl, a_ih)
+        parts.append(out.transpose(1, 0, 2).reshape(4, S_pad))
+        sp = np.zeros(S_pad, np.float32)
+        sp[:len(rows)] = sign[rows]
+        signs.append(sp)
+    flat = jnp.concatenate(parts, axis=1)
+    return (((flat[0], flat[1]), (flat[2], flat[3])),
+            np.concatenate(signs))
 
 
-def tor_dets_quads_pallas(o_mat, gamma, idx, valid, interpret: bool = False):
-    """df32 (det, quadratic form) planes for the displaced torontonian,
-    shaped (S_pad,) each; padding lanes hold det=1, quad=0."""
+def tor_dets_quads_pallas(o_mat, gamma, idx, valid, sign,
+                          interpret: bool = False):
+    """df32 (det, quadratic form, aligned sign) for the displaced
+    torontonian, bucketed by subset size; padding lanes hold det=1, quad=0,
+    sign=0."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p = idx.shape[1]
-    a_rh, a_rl, a_ih, m_d, S_pad = _gathered_planes(o_mat, idx, valid)
-    idx_t = np.zeros((p, S_pad), np.int32)
-    idx_t[:, :idx.shape[0]] = idx.T
-    idx_d = jnp.asarray(idx_t)
-    g_re = jnp.real(gamma).astype(jnp.float32)[idx_d] * m_d    # (p, S_pad)
-    g_im = jnp.imag(gamma).astype(jnp.float32)[idx_d] * m_d
-    # rhs column = conj(gamma_Z); zero lo plane
-    a_rh = jnp.concatenate([a_rh, g_re[:, None, :]], axis=1)
-    a_rl = jnp.concatenate([a_rl, jnp.zeros_like(g_re)[:, None, :]], axis=1)
-    a_ih = jnp.concatenate([a_ih, -g_im[:, None, :]], axis=1)
-    grid = S_pad // _LANES
-    aspec = pl.BlockSpec((p, p + 1, _LANES), lambda g: (0, 0, g),
-                         memory_space=pltpu.VMEM)
-    gspec = pl.BlockSpec((p, _LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_tor_loop_kernel, p=p),
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid, 8, _LANES), jnp.float32),
-        in_specs=[aspec, aspec, aspec, gspec, gspec],
-        out_specs=pl.BlockSpec((1, 8, _LANES), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(a_rh, a_rl, a_ih, g_re, g_im)
-    flat = out.transpose(1, 0, 2).reshape(8, S_pad)
+    parts = []
+    signs = []
+    for p, rows in _size_buckets(valid):
+        idx_p = idx[rows][:, :p]
+        a_rh, a_rl, a_ih, idx_d, m_d, S_pad = _bucket_planes(o_mat, idx_p, p)
+        g_re = jnp.real(gamma).astype(jnp.float32)[idx_d] * m_d  # (p, S_pad)
+        g_im = jnp.imag(gamma).astype(jnp.float32)[idx_d] * m_d
+        # rhs column = conj(gamma_Z); zero lo plane
+        a_rh = jnp.concatenate([a_rh, g_re[:, None, :]], axis=1)
+        a_rl = jnp.concatenate([a_rl, jnp.zeros_like(g_re)[:, None, :]], axis=1)
+        a_ih = jnp.concatenate([a_ih, -g_im[:, None, :]], axis=1)
+        grid = S_pad // _LANES
+        aspec = pl.BlockSpec((p, p + 1, _LANES), lambda g: (0, 0, g),
+                             memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((p, _LANES), lambda g: (0, g),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_tor_loop_kernel, p=p),
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((grid, 8, _LANES), jnp.float32),
+            in_specs=[aspec, aspec, aspec, gspec, gspec],
+            out_specs=pl.BlockSpec((1, 8, _LANES), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(a_rh, a_rl, a_ih, g_re, g_im)
+        parts.append(out.transpose(1, 0, 2).reshape(8, S_pad))
+        sp = np.zeros(S_pad, np.float32)
+        sp[:len(rows)] = sign[rows]
+        signs.append(sp)
+    flat = jnp.concatenate(parts, axis=1)
     det = ((flat[0], flat[1]), (flat[2], flat[3]))
     quad = ((flat[4], flat[5]), (flat[6], flat[7]))
-    return det, quad
+    return det, quad, np.concatenate(signs)

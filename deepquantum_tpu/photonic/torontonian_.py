@@ -195,10 +195,6 @@ def _tor_epilogue(det, sign, m: int, quad=None):
     return cdf_to_complex(total)
 
 
-def _pad_sign(sign, s_pad: int):
-    out = np.zeros(s_pad, np.float32)
-    out[:sign.shape[0]] = sign
-    return out
 
 
 @jax.custom_jvp
@@ -209,8 +205,8 @@ def _torontonian_df32(o_mat):
     idx, valid, sign = _padded_tor_indices(m)
     if _use_tor_pallas(m):
         from .tor_kernel import tor_dets_pallas
-        det = tor_dets_pallas(o_mat, idx, valid)
-        return _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), m)
+        det, psign = tor_dets_pallas(o_mat, idx, valid, sign)
+        return _tor_epilogue(det, psign, m)
     re = jnp.real(o_mat).astype(jnp.float32)
     im = jnp.imag(o_mat).astype(jnp.float32)
     mask2 = valid * np.swapaxes(valid, -1, -2)               # (S, p, p)
@@ -248,9 +244,9 @@ def _torontonian_loop_df32(o_mat, gamma):
     idx, valid, sign = _padded_tor_indices(m)
     if _use_tor_pallas(m):
         from .tor_kernel import tor_dets_quads_pallas
-        det, quad = tor_dets_quads_pallas(o_mat, gamma, idx, valid)
-        return _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), m,
-                             quad=quad)
+        det, quad, psign = tor_dets_quads_pallas(o_mat, gamma, idx, valid,
+                                                 sign)
+        return _tor_epilogue(det, psign, m, quad=quad)
     re = jnp.real(o_mat).astype(jnp.float32)
     im = jnp.imag(o_mat).astype(jnp.float32)
     gre = jnp.real(gamma).astype(jnp.float32)

@@ -474,7 +474,7 @@ def test_torontonian_pallas_kernel_interpret():
     from deepquantum_tpu.photonic.tor_kernel import (
         tor_dets_pallas, tor_dets_quads_pallas)
     from deepquantum_tpu.photonic.torontonian_ import (
-        _pad_sign, _padded_tor_indices, _tor_epilogue)
+        _padded_tor_indices, _tor_epilogue)
 
     def host(o, gamma):
         mm = o.shape[-1] // 2
@@ -498,16 +498,15 @@ def test_torontonian_pallas_kernel_interpret():
     idx, valid, sign = _padded_tor_indices(n)
     oc64 = jnp.asarray(o, jnp.complex64)
 
-    det = tor_dets_pallas(oc64, idx, valid, interpret=True)
-    got = complex(np.asarray(
-        _tor_epilogue(det, _pad_sign(sign, det[0][0].shape[0]), n)))
+    det, psign = tor_dets_pallas(oc64, idx, valid, sign, interpret=True)
+    got = complex(np.asarray(_tor_epilogue(det, psign, n)))
     ref = host(o, np.zeros(2 * n))
     assert abs(got - ref) / abs(ref) < 1e-6, abs(got - ref) / abs(ref)
 
-    det2, quad = tor_dets_quads_pallas(
-        oc64, jnp.asarray(gam, jnp.complex64), idx, valid, interpret=True)
-    gotl = complex(np.asarray(_tor_epilogue(
-        det2, _pad_sign(sign, det2[0][0].shape[0]), n, quad=quad)))
+    det2, quad, psign2 = tor_dets_quads_pallas(
+        oc64, jnp.asarray(gam, jnp.complex64), idx, valid, sign,
+        interpret=True)
+    gotl = complex(np.asarray(_tor_epilogue(det2, psign2, n, quad=quad)))
     refl = host(o, gam)
     assert abs(gotl - refl) / abs(refl) < 1e-6, abs(gotl - refl) / abs(refl)
 
